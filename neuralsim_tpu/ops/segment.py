@@ -1,0 +1,184 @@
+"""Fixed-depth masked sample-buffer ops — the TPU replacement for pack_ops.
+
+The reference's performance core is a family of CUDA "packed tensor" ops over
+ragged per-ray sample lists (``nr3d_lib.graphics.pack_ops``: packed_sum /
+packed_sort / packed_alpha_to_vw / merge_two_packs_sorted / interleave_linstep,
+consumed by app/renderers/*; see SURVEY.md §2.9 and Appendix A.2).
+
+On TPU, ragged layouts defeat XLA tiling, so the whole framework instead uses
+**dense [N_rays, S] buffers with a boolean validity mask** (static shapes).
+Every pack_op becomes a masked dense op here:
+
+  packed_alpha_to_vw  -> alpha_to_vw            (masked exclusive cumprod)
+  packed_sum/mean     -> masked_sum/masked_mean (axis=-1 reductions)
+  packed_sort         -> sort_samples           (invalid lanes pushed to +inf)
+  merge_two_packs_sorted / interleave_linstep
+                      -> merge_sorted_buffers   (concat on S axis + one sort)
+
+All functions are differentiable and shape-polymorphic over leading batch
+dims; they jit/vmap/shard cleanly (sample axis stays on-chip, ray axis is the
+sharded data axis).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Exclusive cumulative product along ``axis`` (first element = 1).
+
+    The transmittance recurrence T_i = prod_{j<i} x_j, computed with an
+    associative scan so XLA emits a log-depth parallel scan on the VPU.
+    """
+    incl = jax.lax.associative_scan(jnp.multiply, x, axis=axis)
+    one = jnp.ones_like(jax.lax.slice_in_dim(incl, 0, 1, axis=axis))
+    return jnp.concatenate(
+        [one, jax.lax.slice_in_dim(incl, 0, x.shape[axis] - 1, axis=axis)], axis=axis
+    )
+
+
+def alpha_to_vw(alpha: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-sample alpha -> visibility weights vw_i = alpha_i * T_i.
+
+    Masked-dense equivalent of ``packed_alpha_to_vw`` / ``ray_alpha_to_vw``
+    (reference usage: single_volume_renderer.py:73-102,
+    buffer_compose_renderer.py:699-714). Invalid samples contribute
+    alpha=0 so they neither occlude nor emit.
+    """
+    if mask is not None:
+        alpha = jnp.where(mask, alpha, 0.0)
+    trans = exclusive_cumprod(1.0 - alpha + 1e-10, axis=-1)
+    return alpha * trans
+
+
+def tau_to_alpha(tau: jnp.ndarray) -> jnp.ndarray:
+    """Optical thickness (sigma * dt) -> alpha."""
+    return 1.0 - jnp.exp(-jnp.maximum(tau, 0.0))
+
+
+def masked_sum(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
+    """Sum over the sample axis with invalid lanes zeroed (``packed_sum``)."""
+    if mask is not None:
+        x = jnp.where(mask, x, 0.0)
+    return jnp.sum(x, axis=axis)
+
+
+def masked_mean(
+    x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -1, eps: float = 1e-10
+) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(x, axis=axis)
+    s = jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
+    n = jnp.sum(mask, axis=axis)
+    return s / jnp.clip(n, eps)
+
+
+_BIG = 1e10
+
+
+def sort_samples(
+    t: jnp.ndarray, mask: jnp.ndarray, *payloads: jnp.ndarray
+) -> Tuple[jnp.ndarray, ...]:
+    """Sort samples of each ray by depth, pushing invalid lanes to the end.
+
+    Masked-dense ``packed_sort`` (reference buffer_compose_renderer.py:686-694).
+    ``t``/``mask`` are [..., S]; each payload is [..., S] or [..., S, C] and is
+    gathered by the same permutation. Returns (t_sorted, mask_sorted,
+    *payloads_sorted).
+    """
+    key = jnp.where(mask, t, _BIG)
+    order = jnp.argsort(key, axis=-1)
+    t_s = jnp.take_along_axis(t, order, axis=-1)
+    m_s = jnp.take_along_axis(mask, order, axis=-1)
+    outs = [t_s, m_s]
+    for p in payloads:
+        if p.ndim == t.ndim:
+            outs.append(jnp.take_along_axis(p, order, axis=-1))
+        else:  # trailing channel dim
+            outs.append(jnp.take_along_axis(p, order[..., None], axis=-2))
+    return tuple(outs)
+
+
+def merge_sorted_buffers(
+    buffers: Sequence[dict], payload_keys: Sequence[str] = ("alpha",)
+) -> dict:
+    """Merge K per-model sample buffers into one depth-ordered buffer.
+
+    Masked-dense equivalent of ``merge_two_packs_sorted`` +
+    ``interleave_linstep`` + global ``packed_sort`` (reference
+    single_volume_renderer.py:337-407, buffer_compose_renderer.py:649-694).
+
+    Each buffer is a dict with 't' [..., S_k], 'mask' [..., S_k] and payload
+    arrays ([..., S_k] or [..., S_k, C]). Buffers are concatenated on the
+    sample axis then sorted once per ray — O(S log S) on the VPU, no ragged
+    scatter needed.
+    """
+    t = jnp.concatenate([b["t"] for b in buffers], axis=-1)
+    mask = jnp.concatenate([b["mask"] for b in buffers], axis=-1)
+    payloads = []
+    for k in payload_keys:
+        parts = [b[k] for b in buffers]
+        axis = -1 if parts[0].ndim == t.ndim else -2
+        payloads.append(jnp.concatenate(parts, axis=axis))
+    sorted_all = sort_samples(t, mask, *payloads)
+    out = {"t": sorted_all[0], "mask": sorted_all[1]}
+    for k, v in zip(payload_keys, sorted_all[2:]):
+        out[k] = v
+    # Provenance: which source buffer each lane came from (for per-obj
+    # decomposition, reference vw_in_total machinery).
+    src = jnp.concatenate(
+        [jnp.full(b["t"].shape, i, dtype=jnp.int32) for i, b in enumerate(buffers)],
+        axis=-1,
+    )
+    order = jnp.argsort(jnp.where(mask, t, _BIG), axis=-1)
+    out["src"] = jnp.take_along_axis(src, order, axis=-1)
+    return out
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inverse-transform sample ``n_samples`` new depths per ray from a
+    piecewise-constant PDF over ``bins``.
+
+    This is the NeuS/NeRF hierarchical upsampling primitive (reference query
+    mode ``march_occ_multi_upsample`` draws ``num_fine`` samples per stage,
+    SURVEY.md §2.9 fields row). Static output shape [..., n_samples] — the
+    fixed-count TPU formulation of adaptive importance sampling.
+
+    bins: [..., S+1] sorted bin edges; weights: [..., S] (non-negative,
+    invalid lanes must already be 0).
+    """
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., S+1]
+
+    if det or key is None:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), minval=0.0, maxval=1.0)
+
+    # searchsorted per ray: vectorized via broadcasting comparison (S is small
+    # and static, so the [..., n_samples, S+1] compare tiles fine on the VPU).
+    inds = jnp.sum((u[..., :, None] >= cdf[..., None, :]).astype(jnp.int32), axis=-1)
+    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, below, axis=-1)
+    bin_a = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = jnp.where(cdf_a - cdf_b < eps, 1.0, cdf_a - cdf_b)
+    frac = (u - cdf_b) / denom
+    return bin_b + frac * (bin_a - bin_b)
