@@ -1,0 +1,96 @@
+"""Benchmark: full-pipeline training throughput (rays/s, fwd+bwd+optim).
+
+North-star metric per BASELINE.md: rays/s/chip through the complete training
+step (render + losses + backward + optimizer) on the flagship StreetSurf-class
+model. Baseline: the reference's derived 34k rays/s on an RTX 3090
+(BASELINE.md "Derived StreetSurf throughput" row: 15000 iters x 16384 rays
+in <=2h).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 34_000.0  # reference 3090 full-pipeline throughput
+
+
+def main():
+    import os
+    import jax
+    # Persistent compile cache: the train-step graph takes minutes to compile
+    # through the remote-compile relay; cache hits make reruns start instantly.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from neuralsim_tpu.dataio.synthetic import SyntheticObjectDataset
+    from neuralsim_tpu.fields import AABBSpace, NeRFDistantField, NeuSField, SimpleSky
+    from neuralsim_tpu.renderers import SingleVolumeRenderer
+    from neuralsim_tpu.training import Trainer
+
+    # Flagship-scale model (StreetSurf-class capacity)
+    space = AABBSpace((-1, -1, -1), (1, 1, 1))
+    field = NeuSField(
+        space, geometry="lotd",
+        encoding_cfg={"n_levels": 12, "base_res": 16, "max_res": 1024,
+                      "log2_hashmap_size": 17, "n_feats": 2},
+        geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
+        ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500)
+    renderer = SingleVolumeRenderer(
+        {"cr": field,
+         "distant": NeRFDistantField(inner_radius=1.0, geometry="mlp",
+                                     geo_feat_dim=8, radiance_hidden=32),
+         "sky": SimpleSky(hidden=32)},
+        query_cfg={"num_coarse": 96, "num_fine": (16, 16),
+                   "upsample_inv_s": 64.0, "upsample_inv_s_factors": (1.0, 4.0)},
+        distant_query_cfg={"num_samples": 32})
+    trainer = Trainer(
+        renderer,
+        loss_cfgs={"rgb": {"fn_type": "huber", "w": 10.0},
+                   "occupancy_mask": {"w": 0.3},
+                   "eikonal": {"w": 0.01, "on_render_ratio": 0.3},
+                   "sparsity": {"w": 0.002}},
+        training_cfgs={"cr": {"lr": 1e-2}, "distant": {"lr": 5e-3},
+                       "sky": {"lr": 3e-3}},
+        uniform_sample_n=1024)
+
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    n_rays = 8192
+    ds = SyntheticObjectDataset(n_frames=4, H=128, W=128)
+    rng = np.random.default_rng(0)
+    b = ds.sample_pixels(rng, n_rays)
+    batch = {k: jnp.asarray(v) for k, v in b.items()
+             if k in ("rays_o", "rays_d", "image_rgb", "image_occupancy_mask")}
+
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, m = trainer.train_step(state, dict(batch), key, "pixel")
+    jax.block_until_ready(m["loss_total"])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sk = jax.random.split(key)
+        state, m = trainer.train_step(state, dict(batch), sk, "pixel")
+    jax.block_until_ready(m["loss_total"])
+    dt = time.perf_counter() - t0
+
+    rays_per_s = n_rays * iters / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_fullpipe",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

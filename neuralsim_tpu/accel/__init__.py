@@ -1,0 +1,2 @@
+"""Acceleration structures (occupancy grids — SURVEY.md §2.9 accelerations)."""
+from .occ_grid import OccGridEma, OccGridEmaBatched, OccGridState

@@ -1,0 +1,193 @@
+"""EMA occupancy grids + fixed-shape grid-skipping ray proposal.
+
+TPU-native equivalent of ``nr3d_lib.models.accelerations`` (``OccGridAccel``,
+``OccGridEma``, ``OccGridEmaBatched``, dynamic variants — SURVEY.md §2.9
+accelerations row; config semantics: ``occ_val_fn_cfg {type: sdf, inv_s}``,
+``occ_thre``, ``ema_decay``, ``n_steps_between_update`` per
+withmask_withlidar_joint.240219.yaml:196-214 and App. D.4).
+
+TPU translation (SURVEY.md §7): the CUDA grid-skipping marcher that emits
+variable samples/ray becomes a two-phase static-shape proposal:
+  1. oversample candidate depths uniformly in [near, far],
+  2. mask candidates by grid occupancy and *compact* the survivors to the
+     front of the sample axis with one per-ray sort, keeping a fixed budget.
+Grid state is an explicit pytree member of the training state (donated and
+updated under the step cadence), not a hidden module buffer.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..maths.common import normalized_logistic_density
+
+
+class OccGridState(NamedTuple):
+    """Occupancy grid pytree: values in [0,1] + derived boolean mask.
+
+    val:  [R, R, R] (or [B, R, R, R] batched) EMA occupancy value
+    mask: same shape, bool — val > occ_thre
+    """
+    val: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class OccGridEma:
+    """Single-instance EMA occupancy grid over an AABB space."""
+
+    def __init__(self, space, resolution: int = 64, *, occ_thre: float = 0.3,
+                 ema_decay: float = 0.95, occ_val_fn: str = "sdf",
+                 occ_inv_s: float = 256.0, n_steps_between_update: int = 16,
+                 n_warmup_steps: int = 256, init_occupied: bool = True):
+        self.space = space
+        self.res = resolution
+        self.occ_thre = occ_thre
+        self.ema_decay = ema_decay
+        self.occ_val_fn = occ_val_fn
+        self.occ_inv_s = occ_inv_s
+        self.n_steps_between_update = n_steps_between_update
+        self.n_warmup_steps = n_warmup_steps
+        self.init_occupied = init_occupied
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self) -> OccGridState:
+        v = jnp.ones((self.res,) * 3) if self.init_occupied else jnp.zeros((self.res,) * 3)
+        return OccGridState(val=v, mask=v > self.occ_thre)
+
+    # -- occupancy value from the field --------------------------------------
+    def _occ_val(self, query_fn: Callable, x: jnp.ndarray) -> jnp.ndarray:
+        out = query_fn(x)
+        if self.occ_val_fn == "sdf":
+            # SDF -> peaked density proxy (reference occ_val_fn_cfg type: sdf)
+            return normalized_logistic_density(out, self.occ_inv_s)
+        if self.occ_val_fn == "density":
+            dt = (self.space.aabb_max - self.space.aabb_min).max() / self.res
+            return 1.0 - jnp.exp(-out * dt)
+        raise ValueError(self.occ_val_fn)
+
+    # -- EMA update -----------------------------------------------------------
+    def update(self, state: OccGridState, query_fn: Callable, key, it
+               ) -> OccGridState:
+        """One EMA update: jitter one sample per voxel, take
+        max(decay * old, new) (Instant-NGP style), rethreshold.
+
+        Call under the trainer's cadence (`it % n_steps_between_update == 0`
+        via lax.cond — reference updates every N steps with warmup)."""
+        R = self.res
+        idx = jnp.stack(jnp.meshgrid(*([jnp.arange(R)] * 3), indexing="ij"), -1)
+        u = jax.random.uniform(key, idx.shape)
+        x01 = (idx + u) / R
+        x = self.space.unnormalize_coords(x01.reshape(-1, 3))
+        val = self._occ_val(query_fn, x).reshape(R, R, R)
+        val = jax.lax.stop_gradient(val)
+        new_val = jnp.maximum(state.val * self.ema_decay, val)
+        # during warmup keep everything occupied so early training sees space
+        warm = jnp.asarray(it) < self.n_warmup_steps
+        new_val = jnp.where(warm, jnp.maximum(new_val, self.occ_thre + 1e-3), new_val)
+        return OccGridState(val=new_val, mask=new_val > self.occ_thre)
+
+    def maybe_update(self, state: OccGridState, query_fn: Callable, key, it
+                     ) -> OccGridState:
+        do = (jnp.asarray(it) % self.n_steps_between_update) == 0
+        return jax.lax.cond(do,
+                            lambda s: self.update(s, query_fn, key, it),
+                            lambda s: s, state)
+
+    # -- queries ---------------------------------------------------------------
+    def occupancy_at(self, state: OccGridState, x: jnp.ndarray) -> jnp.ndarray:
+        """bool occupancy at world points [..., 3] (False outside the box)."""
+        x01 = self.space.normalize_coords(x)
+        inside = jnp.all((x01 >= 0) & (x01 <= 1), axis=-1)
+        cell = jnp.clip((x01 * self.res).astype(jnp.int32), 0, self.res - 1)
+        occ = state.mask[cell[..., 0], cell[..., 1], cell[..., 2]]
+        return occ & inside
+
+    def occupied_fraction(self, state: OccGridState) -> jnp.ndarray:
+        return jnp.mean(state.mask.astype(jnp.float32))
+
+    # -- ray proposal (the marcher replacement) --------------------------------
+    def ray_proposal(self, state: OccGridState, rays_o: jnp.ndarray,
+                     rays_d: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
+                     n_samples: int, key: Optional[jax.Array] = None,
+                     oversample: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fixed-budget occupancy-masked depth proposal.
+
+        Samples ``n_samples * oversample`` uniform candidates in [near, far],
+        keeps those inside occupied voxels, compacts them forward per ray
+        (sort by masked depth) and returns the first ``n_samples``
+        (t [N, n_samples], valid [N, n_samples]). Rays whose every candidate
+        is unoccupied fall back to plain uniform samples so early training
+        (empty grid warmup) still renders.
+        """
+        N = rays_o.shape[0]
+        C = n_samples * oversample
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, C), (N, C))
+        if key is not None:
+            u = u + (jax.random.uniform(key, (N, C)) - 0.5) / C
+            u = jnp.clip(u, 0.0, 1.0)
+        t = near[:, None] + (far - near)[:, None] * u
+        x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+        occ = self.occupancy_at(state, x)
+        hit_any = jnp.any(occ, axis=-1, keepdims=True)
+
+        # compact occupied candidates forward; unoccupied lanes pushed to +inf
+        t_key = jnp.where(occ, t, 1e10)
+        order = jnp.argsort(t_key, axis=-1)[..., :n_samples]
+        t_sel = jnp.take_along_axis(t, order, axis=-1)
+        v_sel = jnp.take_along_axis(occ, order, axis=-1)
+
+        # fallback: uniform n_samples for rays with zero occupied candidates
+        t_fallback = near[:, None] + (far - near)[:, None] * \
+            jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples), (N, n_samples))
+        t_out = jnp.where(hit_any, t_sel, t_fallback)
+        v_out = jnp.where(hit_any, v_sel, jnp.ones_like(v_sel))
+        # re-sort so depths stay increasing (fallback path is already sorted)
+        return t_out, v_out
+
+
+class OccGridEmaBatched(OccGridEma):
+    """Per-instance batched occupancy grids ([B, R, R, R]) for categorical
+    shared models (reference OccGridAccelBatched_Ema / occ_grid_batched_ema,
+    batched_neus.py:321-365)."""
+
+    def __init__(self, space, n_instances: int, resolution: int = 32, **kw):
+        super().__init__(space, resolution, **kw)
+        self.n_instances = n_instances
+
+    def init_state(self) -> OccGridState:
+        v = (jnp.ones if self.init_occupied else jnp.zeros)(
+            (self.n_instances,) + (self.res,) * 3)
+        return OccGridState(val=v, mask=v > self.occ_thre)
+
+    def update(self, state: OccGridState, query_fn: Callable, key, it
+               ) -> OccGridState:
+        """query_fn(x, bidx) -> per-instance SDF/density at points."""
+        R, B = self.res, self.n_instances
+        idx = jnp.stack(jnp.meshgrid(*([jnp.arange(R)] * 3), indexing="ij"), -1)
+        u = jax.random.uniform(key, (B,) + idx.shape)
+        x01 = (idx[None] + u) / R
+        x = self.space.unnormalize_coords(x01.reshape(B, -1, 3))
+        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], x.shape[:2])
+        out = query_fn(x.reshape(-1, 3), bidx.reshape(-1))
+        if self.occ_val_fn == "sdf":
+            val = normalized_logistic_density(out, self.occ_inv_s)
+        else:
+            dt = (self.space.aabb_max - self.space.aabb_min).max() / self.res
+            val = 1.0 - jnp.exp(-out * dt)
+        val = jax.lax.stop_gradient(val).reshape(B, R, R, R)
+        new_val = jnp.maximum(state.val * self.ema_decay, val)
+        warm = jnp.asarray(it) < self.n_warmup_steps
+        new_val = jnp.where(warm, jnp.maximum(new_val, self.occ_thre + 1e-3), new_val)
+        return OccGridState(val=new_val, mask=new_val > self.occ_thre)
+
+    def occupancy_at(self, state: OccGridState, x: jnp.ndarray,
+                     bidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x01 = self.space.normalize_coords(x)
+        inside = jnp.all((x01 >= 0) & (x01 <= 1), axis=-1)
+        cell = jnp.clip((x01 * self.res).astype(jnp.int32), 0, self.res - 1)
+        if bidx is None:
+            bidx = jnp.zeros(x.shape[:-1], jnp.int32)
+        occ = state.mask[bidx, cell[..., 0], cell[..., 1], cell[..., 2]]
+        return occ & inside

@@ -1,0 +1,205 @@
+"""LoTD — "Levels of Tensorial Decomposition" multi-resolution grid encoding.
+
+TPU-native re-design of the reference's CUDA LoTD kernels
+(``nr3d_lib.models.grid_encodings.lotd`` — SURVEY.md §2.9: generalized
+multi-res grid with dense / hash (NGP) levels, plus a batched per-instance
+variant used by categorical shared models).
+
+Implementation strategy (SURVEY.md §7 design table):
+  * forward = per-level corner gather + trilinear interpolation, expressed as
+    ``jnp.take`` so XLA emits TPU dynamic-gathers; backward autodiffs to
+    sort-based scatter-adds (no atomics needed).
+  * all levels share one flat fp32 parameter table ``[total_params]`` with
+    static per-level offsets, so the optimizer treats the whole encoding as a
+    single leaf and a Pallas kernel can later alias the same layout.
+  * level annealing ("hardmask" over levels, reference
+    ``lotd_anneal start_level/stop_it``) is a per-level multiplicative window.
+
+Batched variant: tables get a leading instance axis ``[B, total_params]``;
+points carry an instance index (`bidx`) and gathers offset into the right
+row — the analog of ``LoTDBatched`` inference.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Instant-NGP spatial-hash primes (public constants from Mueller et al. 2022).
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+
+class LevelSpec:
+    """Static per-level layout: resolution, feature width, dense-vs-hash."""
+
+    __slots__ = ("res", "n_feats", "is_dense", "size", "offset")
+
+    def __init__(self, res: int, n_feats: int, is_dense: bool, size: int, offset: int):
+        self.res = res
+        self.n_feats = n_feats
+        self.is_dense = is_dense
+        self.size = size          # number of table rows for this level
+        self.offset = offset      # row offset into the flat table
+
+
+def ngp_levels(n_levels: int = 16, n_feats: int = 2, log2_hashmap_size: int = 19,
+               base_res: int = 16, max_res: int = 2048, input_dim: int = 3
+               ) -> List[Tuple[int, int, str]]:
+    """Instant-NGP geometric level ladder: res_l = base * b^l, dense while the
+    dense grid fits in the hashmap budget, hashed beyond."""
+    if n_levels > 1:
+        b = math.exp((math.log(max_res) - math.log(base_res)) / (n_levels - 1))
+    else:
+        b = 1.0
+    hashmap_size = 2 ** log2_hashmap_size
+    out = []
+    for l in range(n_levels):
+        res = int(round(base_res * (b ** l)))
+        dense_size = (res + 1) ** input_dim
+        out.append((res, n_feats, "dense" if dense_size <= hashmap_size else "hash"))
+    return out
+
+
+def auto_compute_ngp_cfg(target_num_params: int, input_dim: int = 3, n_feats: int = 2,
+                         base_res: int = 16, max_res: int = 2048, n_levels: int = 16
+                         ) -> List[Tuple[int, int, str]]:
+    """Reproduce the reference's ``lotd_auto_compute_cfg type: ngp`` intent:
+    pick the per-level hashmap budget so total params ≈ target (SURVEY.md
+    App. D.3 — we match the parameter budget, not the exact internal split)."""
+    per_level = target_num_params // (n_levels * n_feats)
+    log2_size = max(4, int(math.floor(math.log2(max(per_level, 16)))))
+    return ngp_levels(n_levels, n_feats, log2_size, base_res, max_res, input_dim)
+
+
+class LoTDEncoding:
+    """Multi-level grid encoding over inputs normalized to [0, 1]^d.
+
+    levels: sequence of (resolution, n_feats, 'dense'|'hash').
+    """
+
+    def __init__(self, levels: Sequence[Tuple[int, int, str]], input_dim: int = 3,
+                 log2_hashmap_size: int = 19, param_init_scale: float = 1e-4,
+                 anneal_cfg: Optional[Dict[str, Any]] = None):
+        self.input_dim = input_dim
+        self.param_init_scale = param_init_scale
+        self.anneal_cfg = anneal_cfg
+        hashmap_size = 2 ** log2_hashmap_size
+        self.specs: List[LevelSpec] = []
+        offset = 0
+        for (res, nf, typ) in levels:
+            dense_size = (res + 1) ** input_dim
+            is_dense = (typ == "dense") or dense_size <= hashmap_size
+            size = dense_size if is_dense else hashmap_size
+            self.specs.append(LevelSpec(res, nf, is_dense, size, offset))
+            offset += size * nf
+        self.total_params = offset
+        self.out_dim = sum(s.n_feats for s in self.specs)
+        self.n_levels = len(self.specs)
+
+    # -- params -------------------------------------------------------------
+    def init(self, key) -> Dict[str, jnp.ndarray]:
+        table = jax.random.uniform(key, (self.total_params,), minval=-1.0, maxval=1.0,
+                                   dtype=jnp.float32) * self.param_init_scale
+        return {"table": table}
+
+    def init_batched(self, key, n_instances: int) -> Dict[str, jnp.ndarray]:
+        table = jax.random.uniform(key, (n_instances, self.total_params), minval=-1.0,
+                                   maxval=1.0, dtype=jnp.float32) * self.param_init_scale
+        return {"table": table}
+
+    # -- indexing -----------------------------------------------------------
+    def _corner_indices_weights(self, x: jnp.ndarray, spec: LevelSpec
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [N, d] in [0,1] -> (row indices [N, 2^d], weights [N, 2^d])."""
+        d = self.input_dim
+        pos = jnp.clip(x, 0.0, 1.0) * spec.res
+        # clamp so the +1 corner stays inside the (res+1)-vertex dense grid
+        cell = jnp.minimum(jnp.floor(pos), spec.res - 1)
+        frac = pos - cell
+        cell = cell.astype(jnp.int32)
+
+        n_corners = 1 << d
+        # corner offsets [2^d, d] as a static constant
+        corners = ((jnp.arange(n_corners)[:, None] >> jnp.arange(d)[None, :]) & 1)
+        cidx = cell[:, None, :] + corners[None, :, :]           # [N, 2^d, d]
+        w = jnp.prod(jnp.where(corners[None].astype(bool),
+                               frac[:, None, :], 1.0 - frac[:, None, :]), axis=-1)
+
+        if spec.is_dense:
+            stride = jnp.asarray([(spec.res + 1) ** i for i in range(d)], jnp.int32)
+            rows = jnp.sum(cidx * stride, axis=-1)
+        else:
+            h = cidx[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+            for i in range(1, d):
+                h = h ^ (cidx[..., i].astype(jnp.uint32) * jnp.uint32(_PRIMES[i]))
+            rows = (h % jnp.uint32(spec.size)).astype(jnp.int32)
+        return rows, w
+
+    def _level_features(self, table: jnp.ndarray, x: jnp.ndarray, spec: LevelSpec,
+                        bidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        rows, w = self._corner_indices_weights(x, spec)
+        level_tbl = jax.lax.dynamic_slice_in_dim(
+            table, spec.offset, spec.size * spec.n_feats,
+            axis=table.ndim - 1).reshape(table.shape[:-1] + (spec.size, spec.n_feats))
+        if bidx is None:
+            feats = jnp.take(level_tbl, rows, axis=0, mode="clip")  # [N, 2^d, F]
+        else:
+            feats = level_tbl[bidx[:, None], rows]              # [N, 2^d, F]
+        return jnp.sum(feats * w[..., None], axis=-2)           # [N, F]
+
+    def __call__(self, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                 bidx: Optional[jnp.ndarray] = None,
+                 max_level: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Encode points.
+
+        x: [..., d] in [0,1]; bidx: optional [...] instance indices (batched
+        tables [B, total]); max_level: optional traced scalar — levels above
+        it are zeroed (the LoTD coarse-to-fine hardmask anneal).
+        Returns [..., out_dim].
+        """
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, self.input_dim)
+        bf = None if bidx is None else jnp.broadcast_to(bidx, lead).reshape(-1)
+        outs = []
+        for li, spec in enumerate(self.specs):
+            f = self._level_features(params["table"], xf, spec, bf)
+            if max_level is not None:
+                f = f * (li <= max_level)
+            outs.append(f)
+        out = jnp.concatenate(outs, axis=-1)
+        return out.reshape(lead + (self.out_dim,))
+
+    def max_level_at(self, it) -> Optional[jnp.ndarray]:
+        """Evaluate the level-anneal window at iteration ``it`` (reference
+        ``lotd_anneal: {start_level, stop_it}``)."""
+        if self.anneal_cfg is None:
+            return None
+        start = self.anneal_cfg.get("start_level", 2)
+        stop_it = self.anneal_cfg.get("stop_it", 1)
+        frac = jnp.clip(jnp.asarray(it, jnp.float32) / max(stop_it, 1), 0.0, 1.0)
+        return start + frac * (self.n_levels - 1 - start)
+
+
+def make_lotd(cfg: Dict[str, Any], input_dim: int = 3) -> LoTDEncoding:
+    """Config-driven constructor mirroring the reference's config surface
+    (``encoding_cfg: {type: lotd|hashgrid, lotd_cfg|auto_compute_cfg, anneal_cfg}``)."""
+    cfg = dict(cfg)
+    anneal = cfg.get("anneal_cfg")
+    if "levels" in cfg:
+        levels = [tuple(l) for l in cfg["levels"]]
+    elif cfg.get("auto_compute_cfg", {}).get("type", "").startswith("ngp") or "target_num_params" in cfg:
+        ac = cfg.get("auto_compute_cfg", cfg)
+        levels = auto_compute_ngp_cfg(
+            int(ac.get("target_num_params", 2 ** 22)), input_dim,
+            ac.get("n_feats", 2), ac.get("base_res", 16),
+            ac.get("max_res", 2048), ac.get("n_levels", 16))
+    else:
+        levels = ngp_levels(cfg.get("n_levels", 16), cfg.get("n_feats", 2),
+                            cfg.get("log2_hashmap_size", 19), cfg.get("base_res", 16),
+                            cfg.get("max_res", 2048), input_dim)
+    return LoTDEncoding(levels, input_dim,
+                        log2_hashmap_size=cfg.get("log2_hashmap_size", 19),
+                        param_init_scale=cfg.get("param_init_scale", 1e-4),
+                        anneal_cfg=anneal)

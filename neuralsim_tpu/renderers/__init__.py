@@ -1,0 +1,3 @@
+"""Renderers: single-volume (cr+distant+sky) and multi-object buffer compose."""
+from .buffers import volume_integrate, merge_and_integrate
+from .single_volume import SingleVolumeRenderer

@@ -1,0 +1,83 @@
+"""Volume-buffer integration: dense masked buffers -> rendered ray outputs.
+
+This is the TPU formulation of the reference's volume-buffer rendering
+protocol (SURVEY.md §1 key idea 3 + App. A.1/A.2): models emit per-sample
+buffers; the renderer alpha-composites them into the ``rendered`` dict
+(depth_volume / mask_volume / rgb_volume / normals_volume / ...) consumed by
+losses and eval (reference ``_volume_integration``,
+single_volume_renderer.py:73-102; ``prepare_empty_rendered``,
+app/renderers/utils.py:30).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..ops.segment import alpha_to_vw, masked_sum, merge_sorted_buffers
+
+
+def volume_integrate(buf: Dict[str, Any], *, depth_use_normalized_vw: bool = True,
+                     normalize_normals: bool = False) -> Dict[str, Any]:
+    """Integrate one dense volume buffer {t, mask, alpha, rgb?, nablas?, feat?}
+    into per-ray outputs. All shapes [N, S(, C)] -> [N(, C)]."""
+    vw = alpha_to_vw(buf["alpha"], buf["mask"])          # [N, S]
+    out: Dict[str, Any] = {}
+    vw_sum = masked_sum(vw, buf["mask"])                  # [N]
+    out["mask_volume"] = vw_sum
+    depth = masked_sum(vw * buf["t"], buf["mask"])
+    if depth_use_normalized_vw:
+        depth = depth / jnp.clip(vw_sum, 1e-8)
+    out["depth_volume"] = depth
+    if "rgb" in buf:
+        out["rgb_volume"] = masked_sum(vw[..., None] * buf["rgb"], buf["mask"][..., None], axis=-2)
+    if "nablas" in buf:
+        n = masked_sum(vw[..., None] * buf["nablas"], buf["mask"][..., None], axis=-2)
+        if normalize_normals:
+            n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+            n = jnp.clip(n, -1.0, 1.0)
+        out["normals_volume"] = n
+    if "feat" in buf:
+        out["feature_volume"] = masked_sum(vw[..., None] * buf["feat"], buf["mask"][..., None], axis=-2)
+    out["vw"] = vw
+    out["samples_cnt"] = jnp.sum(buf["mask"], axis=-1)
+    return out
+
+
+def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
+                        payload_keys: Optional[Sequence[str]] = None,
+                        depth_use_normalized_vw: bool = True,
+                        with_per_src: bool = False) -> Dict[str, Any]:
+    """Merge K model buffers by per-ray depth sort, composite once, and
+    (optionally) decompose each source's contribution inside the total.
+
+    TPU analog of the reference's multi-buffer path: scatter + global
+    ``packed_sort`` + single alpha-composite + ``vw_in_total`` decomposition
+    (buffer_compose_renderer.py:649-806; merge_two_packs_sorted,
+    single_volume_renderer.py:337-407).
+    """
+    if payload_keys is None:
+        payload_keys = [k for k in ("alpha", "rgb", "nablas", "feat")
+                        if all(k in b for b in buffers)]
+    if len(buffers) == 1:
+        merged = dict(buffers[0])
+        merged["src"] = jnp.zeros_like(merged["t"], dtype=jnp.int32)
+    else:
+        merged = merge_sorted_buffers(buffers, payload_keys=payload_keys)
+    out = volume_integrate(merged, depth_use_normalized_vw=depth_use_normalized_vw)
+    out["merged_buffer"] = merged
+    if with_per_src:
+        vw = out["vw"]
+        per_src = []
+        for i in range(len(buffers)):
+            sel = (merged["src"] == i) & merged["mask"]
+            d: Dict[str, Any] = {
+                "mask_volume": masked_sum(vw, sel),
+                "depth_volume": masked_sum(vw * merged["t"], sel)
+                / jnp.clip(masked_sum(vw, sel), 1e-8),
+            }
+            if "rgb" in merged:
+                d["rgb_volume"] = masked_sum(vw[..., None] * merged["rgb"], sel[..., None], axis=-2)
+            per_src.append(d)
+        out["per_src"] = per_src
+    return out

@@ -1,0 +1,190 @@
+"""Tests: occupancy grid accel, config system, losses, sharded train step."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralsim_tpu.accel import OccGridEma, OccGridEmaBatched
+from neuralsim_tpu.config import (ConfigDict, load_config, parse_cli_overrides,
+                                  resolve_interpolations, save_config)
+from neuralsim_tpu.fields import AABBSpace
+
+
+# ---------------------------------------------------------------------------
+# Occupancy grid
+# ---------------------------------------------------------------------------
+
+def sphere_sdf(x):
+    return jnp.linalg.norm(x, axis=-1) - 0.5
+
+
+@pytest.fixture(scope="module")
+def occ():
+    space = AABBSpace((-1, -1, -1), (1, 1, 1))
+    grid = OccGridEma(space, resolution=32, occ_thre=0.3, n_warmup_steps=0)
+    state = grid.init_state()
+    # converge the EMA onto the analytic sphere
+    for i in range(40):
+        state = grid.update(state, sphere_sdf, jax.random.PRNGKey(i), it=1000)
+    return grid, state
+
+
+def test_occ_grid_learns_sphere_shell(occ):
+    grid, state = occ
+    frac = float(grid.occupied_fraction(state))
+    assert 0.005 < frac < 0.30  # thin shell around r=0.5
+    # most points ON the sphere lie in occupied voxels; far corners are free
+    key = jax.random.PRNGKey(0)
+    v = jax.random.normal(key, (256, 3))
+    v = 0.5 * v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    on_surface = grid.occupancy_at(state, v)
+    assert float(jnp.mean(on_surface)) > 0.4
+    assert not bool(grid.occupancy_at(state, jnp.array([0.95, 0.95, 0.95])))
+
+
+def test_occ_ray_proposal_concentrates_near_surface(occ):
+    grid, state = occ
+    rays_o = jnp.array([[2.0, 0.0, 0.0]])
+    rays_d = jnp.array([[-1.0, 0.0, 0.0]])
+    near, far, hit = grid.space.ray_test(rays_o, rays_d)
+    t, valid = grid.ray_proposal(state, rays_o, rays_d, near, far, 32,
+                                 key=jax.random.PRNGKey(0))
+    assert t.shape == (1, 32) and valid.shape == (1, 32)
+    tv = np.asarray(t[0])[np.asarray(valid[0])]
+    # all valid proposals near the two surface crossings t=1.5 and t=2.5
+    assert tv.size > 0
+    d_surface = np.minimum(np.abs(tv - 1.5), np.abs(tv - 2.5))
+    assert d_surface.max() < 0.25
+
+
+def test_occ_proposal_fallback_when_grid_empty():
+    space = AABBSpace((-1, -1, -1), (1, 1, 1))
+    grid = OccGridEma(space, resolution=16, init_occupied=False, n_warmup_steps=0)
+    state = grid.init_state()
+    rays_o = jnp.array([[2.0, 0.0, 0.0]])
+    rays_d = jnp.array([[-1.0, 0.0, 0.0]])
+    near, far, _ = space.ray_test(rays_o, rays_d)
+    t, valid = grid.ray_proposal(state, rays_o, rays_d, near, far, 16)
+    assert bool(jnp.all(valid))  # uniform fallback keeps rendering alive
+    assert float(t[0, 0]) >= float(near[0]) - 1e-5
+
+
+def test_occ_grid_batched():
+    space = AABBSpace((-1, -1, -1), (1, 1, 1))
+    grid = OccGridEmaBatched(space, n_instances=2, resolution=16, n_warmup_steps=0)
+    state = grid.init_state()
+
+    def qfn(x, bidx):  # instance 0: small sphere; instance 1: big sphere
+        r = jnp.where(bidx == 0, 0.3, 0.8)
+        return jnp.linalg.norm(x, axis=-1) - r
+
+    for i in range(30):
+        state = grid.update(state, qfn, jax.random.PRNGKey(i), it=100)
+    assert state.mask.shape == (2, 16, 16, 16)
+    x = jnp.array([[0.8, 0.0, 0.0]])
+    assert not bool(grid.occupancy_at(state, x, jnp.array([0]))[0])
+    assert bool(grid.occupancy_at(state, x, jnp.array([1]))[0])
+
+
+def test_occ_maybe_update_cadence(occ):
+    grid, state = occ
+    s2 = grid.maybe_update(state, sphere_sdf, jax.random.PRNGKey(99), it=3)
+    # it=3 not a multiple of 16 -> unchanged
+    np.testing.assert_array_equal(np.asarray(s2.val), np.asarray(state.val))
+
+
+# ---------------------------------------------------------------------------
+# Config system
+# ---------------------------------------------------------------------------
+
+def test_config_interpolation(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("""
+near: 0.1
+far: 120.0
+training:
+  num_iters: 15000
+  n_rays: ${training.num_iters}
+renderer:
+  far: ${far}
+  step: ${eval:"${far} / 100"}
+  name: "exp_${training.num_iters}"
+""")
+    cfg = load_config(str(p))
+    assert cfg.renderer.far == 120.0
+    assert cfg.renderer.step == pytest.approx(1.2)
+    assert cfg.renderer.name == "exp_15000"
+    assert cfg.training.n_rays == 15000
+
+
+def test_config_overrides_and_save(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a:\n  b: 1\n  c: [1, 2]\nd: hello\n")
+    cfg = load_config(str(p), overrides=["a.b=5", "d=world", "e.f=0.5"])
+    assert cfg.a.b == 5 and cfg.d == "world" and cfg.e.f == 0.5
+    out = tmp_path / "saved.yaml"
+    save_config(cfg, str(out))
+    cfg2 = load_config(str(out))
+    assert cfg2.a.b == 5 and cfg2.a.c == [1, 2]
+
+
+def test_config_parent_chain(tmp_path):
+    (tmp_path / "base.yaml").write_text("x: 1\ny: 2\n")
+    (tmp_path / "child.yaml").write_text("_parent_: base.yaml\ny: 3\nz: 4\n")
+    cfg = load_config(str(tmp_path / "child.yaml"))
+    assert cfg.x == 1 and cfg.y == 3 and cfg.z == 4
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def test_lidar_loss_and_los():
+    from neuralsim_tpu.losses import lidar_loss
+    N, S = 16, 32
+    t = jnp.broadcast_to(jnp.linspace(0.1, 10.0, S), (N, S))
+    gt = jnp.full((N,), 5.0)
+    # perfect buffer: all weight at the GT depth
+    alpha = jnp.where(jnp.abs(t - 5.0) < 0.2, 0.9, 0.0)
+    buf = {"t": t, "mask": jnp.ones((N, S), bool), "alpha": alpha}
+    from neuralsim_tpu.ops.segment import alpha_to_vw, masked_sum
+    vw = alpha_to_vw(alpha, buf["mask"])
+    depth = masked_sum(vw * t, buf["mask"]) / jnp.clip(masked_sum(vw, buf["mask"]), 1e-8)
+    rendered = {"depth_volume": depth, "mask_volume": masked_sum(vw, buf["mask"])}
+    cfg = {"w": 1.0, "depth": {"fn_type": "l1", "w": 1.0},
+           "line_of_sight": {"fn_type": "neus_unisim", "epsilon": 0.5, "w": 1.0}}
+    loss_good, aux = lidar_loss(rendered, gt, it=0, cfg=cfg, buf=buf)
+    # bad buffer: weight far from GT
+    alpha_bad = jnp.where(jnp.abs(t - 2.0) < 0.2, 0.9, 0.0)
+    buf_bad = {"t": t, "mask": buf["mask"], "alpha": alpha_bad}
+    vw_b = alpha_to_vw(alpha_bad, buf["mask"])
+    depth_b = masked_sum(vw_b * t, buf["mask"]) / jnp.clip(masked_sum(vw_b, buf["mask"]), 1e-8)
+    rendered_b = {"depth_volume": depth_b, "mask_volume": masked_sum(vw_b, buf["mask"])}
+    loss_bad, _ = lidar_loss(rendered_b, gt, it=0, cfg=cfg, buf=buf_bad)
+    assert float(loss_bad) > float(loss_good)
+    assert float(aux["valid_frac"]) == 1.0
+
+
+def test_annealed_weight_enable_after():
+    from neuralsim_tpu.losses.core import _w
+    cfg = {"w": 2.0, "enable_after": 100}
+    assert float(_w(cfg, 50)) == 0.0
+    assert float(_w(cfg, 150)) == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Sharded training (8 virtual CPU devices)
+# ---------------------------------------------------------------------------
+
+def test_dryrun_multichip_8dev():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    lowered = jax.jit(fn).lower(*args)  # compile-check without running heavy
+    assert lowered is not None
