@@ -47,7 +47,7 @@ def main():
          "distant": NeRFDistantField(inner_radius=1.0, geometry="mlp",
                                      geo_feat_dim=8, radiance_hidden=32),
          "sky": SimpleSky(hidden=32)},
-        query_cfg={"num_coarse": 96, "num_fine": (16, 16),
+        query_cfg={"num_coarse": 64, "num_fine": (16, 16),
                    "upsample_inv_s": 64.0, "upsample_inv_s_factors": (1.0, 4.0)},
         distant_query_cfg={"num_samples": 32})
     trainer = Trainer(

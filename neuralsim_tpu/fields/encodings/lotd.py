@@ -110,44 +110,59 @@ class LoTDEncoding:
         return {"table": table}
 
     # -- indexing -----------------------------------------------------------
-    def _corner_indices_weights(self, x: jnp.ndarray, spec: LevelSpec
-                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """x: [N, d] in [0,1] -> (row indices [N, 2^d], weights [N, 2^d])."""
+    # TPU layout note: every large intermediate keeps the point axis N LAST
+    # (tables viewed [F, size], gathers along the final axis, weights [N])
+    # so XLA's (8, 128) tiling pads nothing. The naive [N, 8corners, F]
+    # layout pads the tiny trailing dims 16-64x and OOMs at StreetSurf scale
+    # (observed: 131 GiB requested on a 16 GiB chip).
+
+    def _corner_rows_weight(self, cell: jnp.ndarray, frac: jnp.ndarray,
+                            corner: int, spec: LevelSpec
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """cell/frac: [d, N] -> (rows [N], weight [N]) for one corner."""
         d = self.input_dim
-        pos = jnp.clip(x, 0.0, 1.0) * spec.res
-        # clamp so the +1 corner stays inside the (res+1)-vertex dense grid
-        cell = jnp.minimum(jnp.floor(pos), spec.res - 1)
-        frac = pos - cell
-        cell = cell.astype(jnp.int32)
-
-        n_corners = 1 << d
-        # corner offsets [2^d, d] as a static constant
-        corners = ((jnp.arange(n_corners)[:, None] >> jnp.arange(d)[None, :]) & 1)
-        cidx = cell[:, None, :] + corners[None, :, :]           # [N, 2^d, d]
-        w = jnp.prod(jnp.where(corners[None].astype(bool),
-                               frac[:, None, :], 1.0 - frac[:, None, :]), axis=-1)
-
+        bits = [(corner >> i) & 1 for i in range(d)]
+        w = None
+        for i, b in enumerate(bits):
+            wi = frac[i] if b else (1.0 - frac[i])
+            w = wi if w is None else w * wi
         if spec.is_dense:
-            stride = jnp.asarray([(spec.res + 1) ** i for i in range(d)], jnp.int32)
-            rows = jnp.sum(cidx * stride, axis=-1)
+            rows = None
+            for i, b in enumerate(bits):
+                ci = cell[i] + b
+                term = ci * ((spec.res + 1) ** i)
+                rows = term if rows is None else rows + term
         else:
-            h = cidx[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+            h = (cell[0] + bits[0]).astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
             for i in range(1, d):
-                h = h ^ (cidx[..., i].astype(jnp.uint32) * jnp.uint32(_PRIMES[i]))
+                h = h ^ ((cell[i] + bits[i]).astype(jnp.uint32)
+                         * jnp.uint32(_PRIMES[i]))
             rows = (h % jnp.uint32(spec.size)).astype(jnp.int32)
         return rows, w
 
-    def _level_features(self, table: jnp.ndarray, x: jnp.ndarray, spec: LevelSpec,
+    def _level_features(self, table: jnp.ndarray, cell: jnp.ndarray,
+                        frac: jnp.ndarray, spec: LevelSpec,
                         bidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        rows, w = self._corner_indices_weights(x, spec)
+        """-> [F, N] accumulated trilinear features for one level."""
         level_tbl = jax.lax.dynamic_slice_in_dim(
-            table, spec.offset, spec.size * spec.n_feats,
-            axis=table.ndim - 1).reshape(table.shape[:-1] + (spec.size, spec.n_feats))
+            table, spec.offset, spec.size * spec.n_feats, axis=table.ndim - 1)
         if bidx is None:
-            feats = jnp.take(level_tbl, rows, axis=0, mode="clip")  # [N, 2^d, F]
+            tbl = level_tbl.reshape(spec.n_feats, spec.size)      # [F, size]
         else:
-            feats = level_tbl[bidx[:, None], rows]              # [N, 2^d, F]
-        return jnp.sum(feats * w[..., None], axis=-2)           # [N, F]
+            # batched: [B, F*size] -> [F, B*size]; per-point rows offset by
+            # the instance index so one flat gather serves all instances
+            B = level_tbl.shape[0]
+            tbl = level_tbl.reshape(B, spec.n_feats, spec.size) \
+                .transpose(1, 0, 2).reshape(spec.n_feats, B * spec.size)
+        acc = None
+        for corner in range(1 << self.input_dim):
+            rows, w = self._corner_rows_weight(cell, frac, corner, spec)
+            if bidx is not None:
+                rows = bidx * spec.size + rows
+            feats = jnp.take(tbl, rows, axis=1, mode="clip")      # [F, N]
+            term = w[None, :] * feats
+            acc = term if acc is None else acc + term
+        return acc
 
     def __call__(self, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
                  bidx: Optional[jnp.ndarray] = None,
@@ -162,14 +177,20 @@ class LoTDEncoding:
         lead = x.shape[:-1]
         xf = x.reshape(-1, self.input_dim)
         bf = None if bidx is None else jnp.broadcast_to(bidx, lead).reshape(-1)
+        # transpose once: [d, N] so every downstream temp is N-last
+        pos_all = jnp.clip(xf, 0.0, 1.0).T                        # [d, N]
         outs = []
         for li, spec in enumerate(self.specs):
-            f = self._level_features(params["table"], xf, spec, bf)
+            pos = pos_all * spec.res
+            cell = jnp.minimum(jnp.floor(pos), spec.res - 1)
+            frac = pos - cell
+            f = self._level_features(params["table"], cell.astype(jnp.int32),
+                                     frac, spec, bf)              # [F, N]
             if max_level is not None:
                 f = f * (li <= max_level)
             outs.append(f)
-        out = jnp.concatenate(outs, axis=-1)
-        return out.reshape(lead + (self.out_dim,))
+        out = jnp.concatenate(outs, axis=0)                        # [F_total, N]
+        return out.T.reshape(lead + (self.out_dim,))
 
     def max_level_at(self, it) -> Optional[jnp.ndarray]:
         """Evaluate the level-anneal window at iteration ``it`` (reference

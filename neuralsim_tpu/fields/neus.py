@@ -32,6 +32,30 @@ from ..ops.segment import alpha_to_vw, sample_pdf, sort_samples
 Params = Dict[str, Any]
 
 
+def map_chunked(fn, xs, chunk: int):
+    """Apply ``fn`` over the leading axis in fixed-size chunks via lax.map.
+
+    Bounds peak HBM for huge sample batches: XLA pads tiny trailing dims of
+    gather temps up to 64x, so an unchunked 4M-point field evaluation
+    requests tens of GiB (observed OOM on a 16 GiB chip). Backward becomes a
+    scan accumulation — same bound. ``xs`` is a pytree whose leaves share the
+    leading axis. No-op when everything fits one chunk.
+    """
+    leaves = jax.tree.leaves(xs)
+    M = leaves[0].shape[0]
+    if chunk is None or M <= chunk:
+        return fn(xs)
+    pad = (-M) % chunk
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        return a.reshape(-1, chunk, *a.shape[1:])
+
+    out = jax.lax.map(fn, jax.tree.map(prep, xs))
+    return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:])[:M], out)
+
+
 # ---------------------------------------------------------------------------
 # NeuS SDF -> alpha math
 # ---------------------------------------------------------------------------
@@ -104,7 +128,11 @@ class NeuSField:
                  inv_s_anneal_stop_it: int = 0,
                  cos_anneal_stop_it: int = 0,
                  radius_init: float = 0.5,
-                 sdf_scale: float = 1.0):
+                 sdf_scale: float = 1.0,
+                 nablas_mode: str = "auto",
+                 nablas_eps: Optional[float] = None,
+                 remat: bool = True,
+                 eval_chunk: int = 65536):
         self.space = space or AABBSpace()
         self.geometry = geometry
         self.geo_feat_dim = geo_feat_dim
@@ -116,6 +144,17 @@ class NeuSField:
         self.inv_s_anneal_stop_it = inv_s_anneal_stop_it
         self.cos_anneal_stop_it = cos_anneal_stop_it
         self.sdf_scale = sdf_scale
+        # 'numerical' (tetrahedron finite differences) avoids second-order
+        # autodiff through the hash grid — the double-jvp temps OOM a 16 GiB
+        # chip at StreetSurf scale, and FD normals are standard practice for
+        # grid SDFs (discontinuous analytic grads). 'auto': numerical for
+        # grids, autodiff for smooth MLP geometry.
+        if nablas_mode == "auto":
+            nablas_mode = "numerical" if geometry == "lotd" else "autodiff"
+        self.nablas_mode = nablas_mode
+        self.remat = remat
+        self.eval_chunk = eval_chunk
+        self.nablas_eps = nablas_eps  # resolved after encoding construction
 
         if geometry == "lotd":
             self.encoding = make_lotd(encoding_cfg or {}, input_dim=3)
@@ -134,6 +173,18 @@ class NeuSField:
             self._geo_init_bias = 0.0
         else:
             raise ValueError(geometry)
+
+        if self.nablas_eps is None:
+            if self.encoding is not None:
+                # half a voxel of the finest level (eager numpy: jnp ops here
+                # would become tracers when called under jit)
+                import numpy as np
+                finest = max(s.res for s in self.encoding.specs)
+                extent = float(np.max(np.asarray(self.space.aabb_max)
+                                      - np.asarray(self.space.aabb_min)))
+                self.nablas_eps = max(extent / finest * 0.5, 1e-4)
+            else:
+                self.nablas_eps = 1e-3
 
         rad_in = 3 + geo_feat_dim + appear_embed_dim
         if use_view_dirs:
@@ -158,10 +209,9 @@ class NeuSField:
         return p
 
     # -- geometry ------------------------------------------------------------
-    def query_sdf_feat(self, params: Params, x: jnp.ndarray,
-                       max_level: Optional[jnp.ndarray] = None
+    def _sdf_feat_impl(self, params: Params, x: jnp.ndarray,
+                       max_level: Optional[jnp.ndarray]
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """x: [..., 3] object coords -> (sdf [...], geo feature [..., F])."""
         if self.geometry == "lotd":
             u = self.space.normalize_coords(x)
             h = self.encoding(params["encoding"], u, max_level=max_level)
@@ -180,19 +230,50 @@ class NeuSField:
             out = self.decoder(params["decoder"], h)
             return out[..., 0] * self.sdf_scale, out[..., 1:]
 
+    def query_sdf_feat(self, params: Params, x: jnp.ndarray,
+                       max_level: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [..., 3] object coords -> (sdf [...], geo feature [..., F]).
+
+        With ``remat`` the evaluation is rematerialized in the backward pass
+        (jax.checkpoint) — the per-corner gather temps dominate HBM otherwise.
+        """
+        if self.remat:
+            fn = jax.checkpoint(lambda p, xx: self._sdf_feat_impl(p, xx, max_level))
+            return fn(params, x)
+        return self._sdf_feat_impl(params, x, max_level)
+
     def query_sdf(self, params: Params, x: jnp.ndarray, **kw) -> jnp.ndarray:
         return self.query_sdf_feat(params, x, **kw)[0]
+
+    def _fd_eps(self) -> float:
+        return self.nablas_eps
 
     def sdf_nablas_feat(self, params: Params, x: jnp.ndarray,
                         max_level: Optional[jnp.ndarray] = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """(sdf, nablas, feat) with nablas = d sdf / dx via one reverse-mode
-        vjp over the whole batch (differentiable again for eikonal losses)."""
-        def f(xx):
-            s, ft = self.query_sdf_feat(params, xx, max_level=max_level)
-            return s, ft
-        (sdf, feat), vjp_fn = jax.vjp(f, x)
-        nablas, = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feat)))
+        """(sdf, nablas, feat). Two nablas modes:
+
+        'autodiff' — one reverse-mode vjp over the batch (differentiable
+        again, used for smooth MLP SDFs);
+        'numerical' — 4-tap tetrahedron finite differences (first-order only;
+        the eikonal loss then trains through the taps, which is the standard
+        formulation for hash-grid SDFs)."""
+        if self.nablas_mode == "autodiff":
+            def f(xx):
+                return self.query_sdf_feat(params, xx, max_level=max_level)
+            (sdf, feat), vjp_fn = jax.vjp(f, x)
+            nablas, = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feat)))
+            return sdf, nablas, feat
+
+        eps = self._fd_eps()
+        sdf, feat = self.query_sdf_feat(params, x, max_level=max_level)
+        # tetrahedron taps (PermutoSDF / instant-nsr practice)
+        k = jnp.asarray([[1.0, -1.0, -1.0], [-1.0, 1.0, -1.0],
+                         [-1.0, -1.0, 1.0], [1.0, 1.0, 1.0]], x.dtype)
+        taps = x[..., None, :] + eps * k                      # [..., 4, 3]
+        sdf_taps, _ = self.query_sdf_feat(params, taps, max_level=max_level)
+        nablas = jnp.einsum("...k,kd->...d", sdf_taps, k) / (4.0 * eps)
         return sdf, nablas, feat
 
     # -- appearance ------------------------------------------------------------
@@ -282,7 +363,9 @@ class NeuSField:
             m_coarse = jnp.broadcast_to(hit[:, None], t.shape)
 
         x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
-        sdf, _ = self.query_sdf_feat(params, x, max_level=max_level)
+        sdf = map_chunked(
+            lambda xc: self.query_sdf_feat(params, xc, max_level=max_level)[0],
+            x.reshape(-1, 3), self.eval_chunk).reshape(x.shape[:-1])
         mask = m_coarse
 
         # --- multi-stage upsampling ------------------------------------------
@@ -295,7 +378,9 @@ class NeuSField:
                 sk = None
             t_new = sample_pdf(bins, w, nf, key=sk, det=not perturb)
             x_new = rays_o[:, None, :] + t_new[..., None] * rays_d[:, None, :]
-            sdf_new, _ = self.query_sdf_feat(params, x_new, max_level=max_level)
+            sdf_new = map_chunked(
+                lambda xc: self.query_sdf_feat(params, xc, max_level=max_level)[0],
+                x_new.reshape(-1, 3), self.eval_chunk).reshape(x_new.shape[:-1])
             m_new = jnp.broadcast_to(hit[:, None], t_new.shape)
             t = jnp.concatenate([t, t_new], axis=-1)
             sdf = jnp.concatenate([sdf, sdf_new], axis=-1)
@@ -304,7 +389,13 @@ class NeuSField:
 
         # --- final full evaluation -------------------------------------------
         x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
-        sdf, nablas, feat = self.sdf_nablas_feat(params, x, max_level=max_level)
+        shp = x.shape[:-1]
+        sdf, nablas, feat = map_chunked(
+            lambda xc: self.sdf_nablas_feat(params, xc, max_level=max_level),
+            x.reshape(-1, 3), self.eval_chunk)
+        sdf = sdf.reshape(shp)
+        nablas = nablas.reshape(shp + (3,))
+        feat = feat.reshape(shp + (feat.shape[-1],))
 
         dirs = jnp.broadcast_to(rays_d[:, None, :], x.shape)
         true_cos = jnp.sum(dirs * nablas, axis=-1)

@@ -33,15 +33,23 @@ class SingleVolumeRenderer:
     def __init__(self, models: Dict[str, Any], *,
                  query_cfg: Optional[Dict[str, Any]] = None,
                  distant_query_cfg: Optional[Dict[str, Any]] = None,
-                 depth_use_normalized_vw: bool = True):
+                 depth_use_normalized_vw: bool = True,
+                 param_keys: Optional[Dict[str, str]] = None):
         self.models = models
         self.query_cfg = dict(query_cfg or {})
         self.distant_query_cfg = dict(distant_query_cfg or {})
         self.depth_use_normalized_vw = depth_use_normalized_vw
+        # role -> key in the params dict; identity by default, model_ids when
+        # driven by an AssetBank (flat {model_id: params} tree)
+        self.param_keys = dict(param_keys or {})
+
+    def pkey(self, role: str) -> str:
+        return self.param_keys.get(role, role)
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, len(self.models))
-        return {name: m.init(k) for (name, m), k in zip(self.models.items(), keys)}
+        return {self.pkey(name): m.init(k)
+                for (name, m), k in zip(self.models.items(), keys)}
 
     def ray_query(self, params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray, *,
                   key: Optional[jax.Array] = None, it=None,
@@ -60,7 +68,7 @@ class SingleVolumeRenderer:
         cfg = dict(self.query_cfg)
         if query_overrides:
             cfg.update(query_overrides)
-        buf_cr = cr.ray_query(params["cr"], rays_o, rays_d, key=kcr, it=it,
+        buf_cr = cr.ray_query(params[self.pkey("cr")], rays_o, rays_d, key=kcr, it=it,
                               near=near, far=far, with_rgb=with_rgb, **cfg)
         buffers = [buf_cr]
 
@@ -74,7 +82,7 @@ class SingleVolumeRenderer:
             cr_hit = buf_cr["details"]["hit"]
             dv_near = jnp.where(cr_hit, jnp.maximum(cr_far, 1e-3),
                                 jnp.maximum(cr.space.radius3d * 0.1, 1e-3))
-            buf_dv = dv.ray_query(params["distant"], rays_o, rays_d, key=kdv, it=it,
+            buf_dv = dv.ray_query(params[self.pkey("distant")], rays_o, rays_d, key=kdv, it=it,
                                   near=dv_near, with_rgb=with_rgb,
                                   h_appear=h_appear, **self.distant_query_cfg)
             buffers.append(buf_dv)
@@ -87,7 +95,7 @@ class SingleVolumeRenderer:
             rendered["rendered_dv"] = rendered["per_src"][1]
 
         if with_rgb and "sky" in self.models:
-            sky_rgb = self.models["sky"](params["sky"], rays_d, h_appear=h_appear)
+            sky_rgb = self.models["sky"](params[self.pkey("sky")], rays_d, h_appear=h_appear)
             mask = rendered["mask_volume"][..., None]
             rendered["rgb_sky"] = sky_rgb
             rendered["rgb_volume_occupied"] = rendered["rgb_volume"]

@@ -1,0 +1,171 @@
+"""Scene: the node-graph container with frame slicing and world transforms.
+
+TPU-native re-design of ``app/resources/scenes.py`` (reference ``Scene``:
+slice_at :167, interp_at :200, load_from_scenario :321, registries
+drawables/observers/all_nodes :126-140, convert_rays_in_node(s) :631,686 —
+SURVEY.md §2.1 and §1 key idea 1).
+
+Design: nodes live in topological (parent-before-child) order; a frozen scene
+is a dict of stacked arrays {world_transform [n_nodes(,B),4,4], scale, valid}
+computed by one static loop over nodes — jit/vmap-safe, supports batched
+(vector) frame indices for joint frame-pixel sampling (reference
+scenes.py:665-670).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..maths.transforms import apply_rotation, apply_transform, compose_transforms, inverse_transform
+from ..utils.misc import IDListedDict
+from .nodes import SceneNode
+
+
+class FrozenScene:
+    """A scene frozen at one (or a batch of) frame index/timestamp.
+
+    Holds per-node sliced data + propagated world transforms. All arrays
+    share leading batch dims with the slicing index.
+    """
+
+    def __init__(self, scene: "Scene", node_data: List[Dict[str, Any]]):
+        self.scene = scene
+        self.node_data = node_data  # indexed by node.index
+        self.world: List[jnp.ndarray] = []
+        self._propagate()
+
+    def _propagate(self):
+        """Root-to-leaf world transform composition (reference
+        ``SceneNode.update``, nodes.py:71-107)."""
+        for node in self.scene.nodes_topo:
+            local = self.node_data[node.index]["transform"]
+            if node.parent_index < 0:
+                world = local
+            else:
+                world = compose_transforms(self.world[node.parent_index], local)
+            self.world.append(world)
+
+    # -- accessors -----------------------------------------------------------
+    def world_transform(self, node_id: str) -> jnp.ndarray:
+        return self.world[self.scene.nodes[node_id].index]
+
+    def data(self, node_id: str) -> Dict[str, Any]:
+        return self.node_data[self.scene.nodes[node_id].index]
+
+    def valid(self, node_id: str) -> jnp.ndarray:
+        return self.node_data[self.scene.nodes[node_id].index]["valid"]
+
+    # -- ray conversion --------------------------------------------------------
+    def rays_to_node(self, node_id: str, rays_o: jnp.ndarray, rays_d: jnp.ndarray):
+        """World rays -> node-local rays, dividing by node scale so the
+        model sees its canonical unit frame (reference
+        ``Scene.convert_rays_in_node``, scenes.py:631)."""
+        idx = self.scene.nodes[node_id].index
+        w2n = inverse_transform(self.world[idx])
+        scale = self.node_data[idx]["scale"]
+        o = apply_transform(w2n, rays_o) / scale
+        d = apply_rotation(w2n, rays_d) / scale
+        dn = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return o, d / jnp.clip(dn, 1e-9), dn[..., 0]
+
+    def rays_from_node(self, node_id: str, rays_o, rays_d):
+        idx = self.scene.nodes[node_id].index
+        n2w = self.world[idx]
+        scale = self.node_data[idx]["scale"]
+        o = apply_transform(n2w, rays_o * scale)
+        d = apply_rotation(n2w, rays_d * scale)
+        return o, d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+
+
+class Scene:
+    """Scene-graph container parsed from the universal scenario format."""
+
+    def __init__(self, scene_id: str = "scene", metas: Optional[Dict] = None):
+        self.id = scene_id
+        self.metas = metas or {}
+        self.nodes: IDListedDict[SceneNode] = IDListedDict()
+        self.nodes_topo: List[SceneNode] = []
+        self.observers: IDListedDict[SceneNode] = IDListedDict()
+        self.drawables: IDListedDict[SceneNode] = IDListedDict()
+        self.n_frames: int = 0
+        # per-drawable bound model ids (set by load_assets)
+        self.model_of: Dict[str, str] = {}
+
+    # -- construction ----------------------------------------------------------
+    def add_node(self, node: SceneNode) -> SceneNode:
+        self.nodes[node.id] = node
+        return node
+
+    def finalize(self):
+        """Topo-sort nodes, assign indices, build registries."""
+        order: List[SceneNode] = []
+        seen = set()
+
+        def visit(n: SceneNode):
+            if n.id in seen:
+                return
+            if n.parent and n.parent in self.nodes:
+                visit(self.nodes[n.parent])
+            seen.add(n.id)
+            order.append(n)
+
+        for n in self.nodes.values():
+            visit(n)
+        self.nodes_topo = order
+        for i, n in enumerate(order):
+            n.index = i
+            n.parent_index = self.nodes[n.parent].index \
+                if (n.parent and n.parent in self.nodes) else -1
+        observer_classes = {"Camera", "RaysLidar", "Lidar", "OrthoCamera",
+                            "PanoramaCamera"}
+        for n in order:
+            if n.class_name in observer_classes:
+                self.observers[n.id] = n
+            elif n.class_name not in ("EgoVehicle", "node", "World"):
+                self.drawables[n.id] = n
+        return self
+
+    @classmethod
+    def load_from_scenario(cls, scenario: Dict) -> "Scene":
+        """Build the node tree from a scenario dict (SURVEY.md App. A.4;
+        reference Scene.load_from_scenario, scenes.py:321)."""
+        metas = scenario.get("metas", {})
+        sc = cls(scenario.get("scene_id", "scene"), metas)
+        T = int(metas.get("num_frames", 0))
+
+        def add_group(group: Dict, default_parent=None):
+            for nid, odict in group.items():
+                parent = odict.get("parent", default_parent)
+                node = SceneNode.from_odict(nid, odict, T, parent)
+                sc.add_node(node)
+                # nested children (e.g. cameras under EgoVehicle)
+                for cid, codict in odict.get("children", {}).items():
+                    child = SceneNode.from_odict(cid, codict, T, nid)
+                    sc.add_node(child)
+
+        add_group(scenario.get("observers", {}))
+        add_group(scenario.get("objects", {}))
+        sc.n_frames = T
+        return sc.finalize()
+
+    # -- slicing ---------------------------------------------------------------
+    def slice_at(self, fi) -> FrozenScene:
+        """Freeze at integer frame index/indices (reference scenes.py:167;
+        batched indices supported for joint frame-pixel sampling)."""
+        return FrozenScene(self, [n.slice_at(fi) for n in self.nodes_topo])
+
+    def interp_at(self, ts) -> FrozenScene:
+        """Freeze at continuous timestamp(s) (reference scenes.py:200)."""
+        return FrozenScene(self, [n.interp_at(ts) for n in self.nodes_topo])
+
+    # -- convenience -----------------------------------------------------------
+    def get_observer(self, oid: str) -> SceneNode:
+        return self.observers[oid]
+
+    def drawable_ids(self) -> List[str]:
+        return list(self.drawables.keys())
+
+    def observer_ids(self) -> List[str]:
+        return list(self.observers.keys())

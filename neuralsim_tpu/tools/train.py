@@ -1,0 +1,235 @@
+"""Training CLI: config-driven end-to-end reconstruction.
+
+TPU-native re-design of ``code_single/tools/train.py`` (reference, 1698 LoC:
+main_function orchestration documented in SURVEY.md §3.1 — scene bank,
+asset bank, renderer, dataloaders, loss assembly, checkpointing, periodic
+validation). Usage::
+
+    python -m neuralsim_tpu.tools.train --config configs/synthetic_object.yaml \
+        [--training.num_iters=5000] [--exp_dir=logs/run0] [--platform=cpu]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def build_everything(cfg):
+    """Scene bank + asset bank + renderer + trainer from one config tree
+    (reference main_function :1242-1377)."""
+    import jax
+    from ..config import ConfigDict
+    from ..dataio.dataloader import (ImageSampler, LidarSampler, PixelSampler,
+                                     SceneDataLoader)
+    from ..models.asset_base import AssetAssignment
+    from ..renderers import SingleVolumeRenderer
+    from ..scene import AssetBank, Scene
+    from ..training.trainer import Trainer
+    from ..utils.misc import import_str
+
+    # --- dataset + scene bank ---------------------------------------------
+    ds_cfg = cfg["dataset_cfg"]
+    dataset = import_str(ds_cfg["target"])(**ds_cfg.get("params", {}))
+    scene_ids = cfg.get("scenebank_cfg", {}).get("scenarios") or dataset.scene_ids()
+    sid = scene_ids[0].split(",")[0].strip()
+    scene = Scene.load_from_scenario(dataset.get_scenario(sid))
+
+    # --- asset bank ---------------------------------------------------------
+    bank = AssetBank.create(cfg["assetbank_cfg"], [scene])
+
+    # --- renderer: bind roles to asset model_ids ----------------------------
+    rcfg = cfg.get("renderer", {})
+    roles: Dict[str, Any] = {}
+    param_keys: Dict[str, str] = {}
+
+    def bind(role, class_name):
+        for mid, asset in bank.assets.items():
+            if bank.class_of[mid] == class_name and asset.field is not None:
+                roles[role] = asset.field
+                param_keys[role] = mid
+                return asset
+        return None
+
+    cr_asset = bind("cr", rcfg.get("cr_class", "Main"))
+    if cr_asset is None:
+        raise ValueError(f"no close-range asset of class {rcfg.get('cr_class','Main')}")
+    bind("distant", rcfg.get("distant_class", "Distant"))
+    bind("sky", rcfg.get("sky_class", "Sky"))
+
+    renderer = SingleVolumeRenderer(
+        roles,
+        query_cfg={**cr_asset.query_cfg, **dict(rcfg.get("query_cfg", {}))},
+        distant_query_cfg=dict(rcfg.get("distant_query_cfg", {})),
+        param_keys=param_keys)
+
+    # --- trainer -------------------------------------------------------------
+    tcfg = cfg.get("training", {})
+    trainer = Trainer(renderer,
+                      loss_cfgs=dict(tcfg.get("losses", {})),
+                      training_cfgs=bank.training_cfgs(),
+                      uniform_sample_n=tcfg.get("uniform_sample_n", 1024),
+                      default_optim_cfg=dict(tcfg.get("optim", {"lr": 1e-2})))
+
+    # --- data ----------------------------------------------------------------
+    loader = SceneDataLoader(scene, dataset,
+                             with_mask=tcfg.get("with_mask", True),
+                             with_lidar=tcfg.get("with_lidar", False))
+    return ConfigDict.from_dict({}), scene, bank, renderer, trainer, loader
+
+
+def lift_pixel_batch(scene, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """(cam, frame, pixel) -> world rays via the frozen scene graph."""
+    import jax.numpy as jnp
+    from ..scene.observers import camera_get_selected_rays
+    fr = scene.slice_at(jnp.asarray(batch["rays_fidx"]))
+    ro, rd = camera_get_selected_rays(fr, batch["cam_id"],
+                                      jnp.asarray(batch["rays_xy"]))
+    out = {"rays_o": ro, "rays_d": rd,
+           "image_rgb": jnp.asarray(batch["image_rgb"])}
+    if "image_occupancy_mask" in batch:
+        out["image_occupancy_mask"] = jnp.asarray(batch["image_occupancy_mask"])
+    return out
+
+
+def lift_lidar_batch(scene, batch) -> Dict[str, Any]:
+    import jax.numpy as jnp
+    from ..scene.observers import lidar_rays_to_world
+    fr = scene.slice_at(jnp.asarray(batch["rays_fidx"]))
+    ro, rd = lidar_rays_to_world(fr, batch["lidar_id"],
+                                 jnp.asarray(batch["rays_o_local"]),
+                                 jnp.asarray(batch["rays_d_local"]))
+    return {"rays_o": ro, "rays_d": rd, "ranges": jnp.asarray(batch["ranges"])}
+
+
+def validate(scene, renderer, params, loader, cam_id: str, fi: int,
+             logger, it: int, downscale: int = 2, rayschunk: int = 4096):
+    """Render one validation frame, log PSNR + images (reference
+    validate_cameras, train.py:1130)."""
+    import jax
+    import jax.numpy as jnp
+    from ..dataio.dataloader import ImageSampler
+    from ..scene.observers import camera_get_selected_rays
+    from ..training.trainer import psnr
+    from ..utils.logger import color_depth
+
+    frame = ImageSampler(loader, downscale).get(cam_id, fi)
+    fr = scene.slice_at(fi)
+    ro, rd = camera_get_selected_rays(fr, cam_id, jnp.asarray(frame["rays_xy"]))
+    rendered = renderer.render_chunked(params, ro, rd, rayschunk=rayschunk,
+                                       query_overrides={"perturb": False})
+    H, W = frame["hw"]
+    rgb = np.asarray(rendered["rgb_volume"]).reshape(H, W, 3)
+    gt = frame["image_rgb"].reshape(H, W, 3)
+    p = float(psnr(jnp.asarray(rgb), jnp.asarray(gt)))
+    if logger:
+        logger.add_scalar("val/psnr", p, it)
+        logger.add_image("val/pred", rgb, it)
+        logger.add_image("val/gt", gt, it)
+        depth = np.asarray(rendered["depth_volume"]).reshape(H, W)
+        logger.add_image("val/depth", color_depth(depth), it)
+        if "normals_volume" in rendered:
+            n = np.asarray(rendered["normals_volume"]).reshape(H, W, 3)
+            logger.add_image("val/normals", n * 0.5 + 0.5, it)
+    return p
+
+
+def main_function(cfg) -> Dict[str, Any]:
+    import jax
+    if cfg.get("platform"):
+        jax.config.update("jax_platforms", cfg["platform"])
+    cache_dir = cfg.get("compile_cache", ".jax_cache")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    import jax.numpy as jnp
+
+    from ..config import save_config
+    from ..dataio.dataloader import LidarSampler, PixelSampler
+    from ..utils.checkpoint import CheckpointIO
+    from ..utils.logger import Logger
+
+    _, scene, bank, renderer, trainer, loader = build_everything(cfg)
+
+    tcfg = cfg.get("training", {})
+    exp_dir = cfg.get("exp_dir", os.path.join("logs", "exp"))
+    os.makedirs(exp_dir, exist_ok=True)
+    save_config(cfg, os.path.join(exp_dir, "config.yaml"))
+    logger = Logger(exp_dir)
+    ckpt = CheckpointIO(os.path.join(exp_dir, "ckpts"),
+                        i_save_seconds=tcfg.get("i_save", 900),
+                        i_backup=tcfg.get("i_backup", 0))
+
+    key = jax.random.PRNGKey(cfg.get("seed", 42))
+    k_init, k_pre, key = jax.random.split(key, 3)
+    params = bank.init_params(k_init)
+    params = bank.training_initialize(params, k_pre)
+    state = trainer.init_state(key, params=params)
+
+    # resume
+    restored = ckpt.load(state) if cfg.get("resume_dir") else None
+    if restored is not None:
+        state = type(state)(*restored) if not isinstance(restored, type(state)) else restored
+        print(f"resumed at it={int(state.it)}")
+
+    pixel_sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 4096),
+                                 seed=cfg.get("seed", 42))
+    lidar_sampler = LidarSampler(loader, n_rays=tcfg.get("n_rays_lidar", 4096)) \
+        if tcfg.get("with_lidar") else None
+
+    num_iters = int(tcfg.get("num_iters", 1000))
+    i_val = int(tcfg.get("i_val", max(num_iters // 4, 1)))
+    i_log = int(tcfg.get("i_log", 50))
+    val_cam = loader.cam_ids[0]
+
+    t0 = time.time()
+    rays_done = 0
+    m = {}
+    for it in range(int(state.it), num_iters):
+        key, sk = jax.random.split(key)
+        batch = lift_pixel_batch(scene, pixel_sampler.sample())
+        state, m = trainer.train_step(state, batch, sk, "pixel")
+        rays_done += tcfg.get("n_rays", 4096)
+        if lidar_sampler is not None:
+            lb = lidar_sampler.sample()
+            if lb is not None:
+                key, sk = jax.random.split(key)
+                state, ml = trainer.train_step(state, lift_lidar_batch(scene, lb),
+                                               sk, "lidar")
+                m.update({f"lidar/{k}": v for k, v in ml.items()})
+                rays_done += tcfg.get("n_rays_lidar", 4096)
+        if it % i_log == 0:
+            mm = {k: float(np.asarray(v)) for k, v in m.items()
+                  if np.asarray(v).ndim == 0}
+            logger.add_scalars(mm, it)
+            rate = rays_done / max(time.time() - t0, 1e-9)
+            print(f"it={it} loss={mm.get('loss_total', float('nan')):.4f} "
+                  f"rays/s={rate:.0f}", flush=True)
+        if (it + 1) % i_val == 0:
+            p = validate(scene, renderer, state.params, loader, val_cam,
+                         fi=0, logger=logger, it=it,
+                         downscale=tcfg.get("val_downscale", 2))
+            print(f"[val] it={it} psnr={p:.2f}", flush=True)
+        ckpt.maybe_save(state, it)
+
+    ckpt.save(state, num_iters, tag="final")
+    p = validate(scene, renderer, state.params, loader, val_cam, fi=0,
+                 logger=logger, it=num_iters)
+    logger.save_stats()
+    logger.close()
+    print(f"done: final psnr={p:.2f} exp_dir={exp_dir}", flush=True)
+    return {"psnr": p, "exp_dir": exp_dir, "state": state}
+
+
+def main(argv=None):
+    from ..config import BaseConfig
+    bc = BaseConfig("neuralsim_tpu trainer")
+    cfg = bc.parse(argv)
+    return main_function(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,8 +57,12 @@ class Trainer:
         self.optimizer: Optional[optax.GradientTransformation] = None
 
     # ------------------------------------------------------------------
-    def init_state(self, key) -> TrainState:
-        params = self.renderer.init(key)
+    def init_state(self, key, params: Optional[Any] = None) -> TrainState:
+        """Build the train state. ``params`` may come from an AssetBank
+        (flat {model_id: pytree}); otherwise the renderer initializes its
+        own role-keyed params."""
+        if params is None:
+            params = self.renderer.init(key)
         self.optimizer = make_optimizer(self.training_cfgs, params,
                                         self.default_optim_cfg)
         opt_state = self.optimizer.init(params)
@@ -102,7 +106,7 @@ class Trainer:
         needs_uniform = ("eikonal" in self.loss_cfgs) or ("sparsity" in self.loss_cfgs)
         if needs_uniform and hasattr(cr, "sample_pts_uniform"):
             _, sdf_u, nablas_u = cr.sample_pts_uniform(
-                params["cr"], k_uniform, self.uniform_sample_n)
+                params[self.renderer.pkey("cr")], k_uniform, self.uniform_sample_n)
             if "eikonal" in self.loss_cfgs:
                 cfg = self.loss_cfgs["eikonal"]
                 loss_eik = eikonal_loss(nablas_u, it, cfg, key=k_eik)
