@@ -34,12 +34,21 @@ def main():
     from neuralsim_tpu.renderers import SingleVolumeRenderer
     from neuralsim_tpu.training import Trainer
 
-    # Flagship-scale model (StreetSurf-class capacity)
+    # Flagship-scale model (StreetSurf-class capacity). Encoding selectable
+    # for perf comparisons: BENCH_ENCODING=hash|mixed (default mixed — the
+    # TPU-first dense+CP+hash level plan).
+    import os as _os
+    if _os.environ.get("BENCH_ENCODING", "mixed") == "mixed":
+        enc_cfg = {"type": "tpu_mixed", "n_levels": 10, "base_res": 16,
+                   "max_res": 1024, "n_feats": 4, "n_hash_levels": 2,
+                   "log2_hashmap_size": 17, "cp_max_res": 512}
+    else:
+        enc_cfg = {"n_levels": 12, "base_res": 16, "max_res": 1024,
+                   "log2_hashmap_size": 17, "n_feats": 2}
     space = AABBSpace((-1, -1, -1), (1, 1, 1))
     field = NeuSField(
         space, geometry="lotd",
-        encoding_cfg={"n_levels": 12, "base_res": 16, "max_res": 1024,
-                      "log2_hashmap_size": 17, "n_feats": 2},
+        encoding_cfg=enc_cfg,
         geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
         ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500)
     renderer = SingleVolumeRenderer(

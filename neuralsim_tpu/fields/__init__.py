@@ -5,3 +5,8 @@ from .neus import NeuSField, neus_alpha_from_sdf
 from .nerf import NeRFField, NeRFDistantField
 from .sky import SimpleSky, PureColorSky
 from .spatial import AABBSpace, BatchedAABBSpace
+from .conditional import (ConditionalPermutoNeuSField,
+                          DynamicGenerativePermutoConcatNeuSField,
+                          DynamicPermutoConcatNeuSField,
+                          GenerativePermutoConcatNeuSField, PermutoNeuSField)
+from .embeddings import Embedding, SeqEmbedding

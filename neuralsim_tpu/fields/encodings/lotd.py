@@ -27,21 +27,36 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ...ops.gather import gather_cols
+
 # Instant-NGP spatial-hash primes (public constants from Mueller et al. 2022).
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 
 
 class LevelSpec:
-    """Static per-level layout: resolution, feature width, dense-vs-hash."""
+    """Static per-level layout: resolution, feature width, type.
 
-    __slots__ = ("res", "n_feats", "is_dense", "size", "offset")
+    typ: 'dense' | 'hash'  — corner-gather levels (table rows [size, F])
+         'cp'              — CP/TensoRF-style factorized level: d lines of
+                             [res, F]; features are the channelwise product
+                             of per-axis linear interpolations. Interpolation
+                             is a dense distance-kernel matmul -> runs on the
+                             MXU with ZERO gathers (XLA TPU gathers measured
+                             at only ~240M/s — the training bottleneck).
+    """
 
-    def __init__(self, res: int, n_feats: int, is_dense: bool, size: int, offset: int):
+    __slots__ = ("res", "n_feats", "typ", "size", "offset")
+
+    def __init__(self, res: int, n_feats: int, typ: str, size: int, offset: int):
         self.res = res
         self.n_feats = n_feats
-        self.is_dense = is_dense
+        self.typ = typ
         self.size = size          # number of table rows for this level
-        self.offset = offset      # row offset into the flat table
+        self.offset = offset      # param offset into the flat table
+
+    @property
+    def is_dense(self):
+        return self.typ == "dense"
 
 
 def ngp_levels(n_levels: int = 16, n_feats: int = 2, log2_hashmap_size: int = 19,
@@ -59,6 +74,31 @@ def ngp_levels(n_levels: int = 16, n_feats: int = 2, log2_hashmap_size: int = 19
         res = int(round(base_res * (b ** l)))
         dense_size = (res + 1) ** input_dim
         out.append((res, n_feats, "dense" if dense_size <= hashmap_size else "hash"))
+    return out
+
+
+def tpu_mixed_levels(n_levels: int = 8, *, base_res: int = 16, max_res: int = 2048,
+                     n_feats: int = 4, n_hash_levels: int = 2,
+                     log2_hashmap_size: int = 19, cp_max_res: int = 1024,
+                     input_dim: int = 3) -> List[Tuple[int, int, str]]:
+    """TPU-first level plan: dense low-res levels (few gathers), CP matmul
+    levels through the mid resolutions (gather-free MXU work), and only the
+    top ``n_hash_levels`` as hash levels for fine detail capacity. This keeps
+    >80% of the per-point work off the (slow) XLA gather path while retaining
+    hash-grid capacity at the finest scales."""
+    if n_levels > 1:
+        b = math.exp((math.log(max_res) - math.log(base_res)) / (n_levels - 1))
+    else:
+        b = 1.0
+    out = []
+    for l in range(n_levels):
+        res = int(round(base_res * (b ** l)))
+        if (res + 1) ** input_dim <= 4096:
+            out.append((res, n_feats, "dense"))
+        elif l >= n_levels - n_hash_levels:
+            out.append((res, n_feats, "hash"))
+        else:
+            out.append((min(res, cp_max_res), n_feats, "cp"))
     return out
 
 
@@ -89,25 +129,43 @@ class LoTDEncoding:
         self.specs: List[LevelSpec] = []
         offset = 0
         for (res, nf, typ) in levels:
+            if typ == "cp":
+                size = input_dim * res          # d lines of [res, F]
+                self.specs.append(LevelSpec(res, nf, "cp", size, offset))
+                offset += size * nf
+                continue
             dense_size = (res + 1) ** input_dim
             is_dense = (typ == "dense") or dense_size <= hashmap_size
             size = dense_size if is_dense else hashmap_size
-            self.specs.append(LevelSpec(res, nf, is_dense, size, offset))
+            self.specs.append(LevelSpec(res, nf, "dense" if is_dense else "hash",
+                                        size, offset))
             offset += size * nf
         self.total_params = offset
         self.out_dim = sum(s.n_feats for s in self.specs)
         self.n_levels = len(self.specs)
 
     # -- params -------------------------------------------------------------
-    def init(self, key) -> Dict[str, jnp.ndarray]:
-        table = jax.random.uniform(key, (self.total_params,), minval=-1.0, maxval=1.0,
+    def _init_flat(self, key, lead=()):
+        table = jax.random.uniform(key, lead + (self.total_params,),
+                                   minval=-1.0, maxval=1.0,
                                    dtype=jnp.float32) * self.param_init_scale
-        return {"table": table}
+        # CP lines init near +1 so channelwise products start near 1 and the
+        # level output (scaled below) starts near param_init_scale
+        for spec in self.specs:
+            if spec.typ == "cp":
+                seg = jax.lax.dynamic_slice_in_dim(
+                    table, spec.offset, spec.size * spec.n_feats,
+                    axis=len(lead))
+                table = jax.lax.dynamic_update_slice_in_dim(
+                    table, seg / self.param_init_scale * 0.1 + 1.0,
+                    spec.offset, axis=len(lead))
+        return table
+
+    def init(self, key) -> Dict[str, jnp.ndarray]:
+        return {"table": self._init_flat(key)}
 
     def init_batched(self, key, n_instances: int) -> Dict[str, jnp.ndarray]:
-        table = jax.random.uniform(key, (n_instances, self.total_params), minval=-1.0,
-                                   maxval=1.0, dtype=jnp.float32) * self.param_init_scale
-        return {"table": table}
+        return {"table": self._init_flat(key, (n_instances,))}
 
     # -- indexing -----------------------------------------------------------
     # TPU layout note: every large intermediate keeps the point axis N LAST
@@ -140,6 +198,39 @@ class LoTDEncoding:
             rows = (h % jnp.uint32(spec.size)).astype(jnp.int32)
         return rows, w
 
+    def _cp_level_features(self, table: jnp.ndarray, pos01: jnp.ndarray,
+                           spec: LevelSpec,
+                           bidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """CP level: channelwise product of per-axis linear interps, each
+        computed as relu-tent-kernel [res, N] matmul against the line
+        [F, res] — dense MXU work, no gathers. -> [F, N]."""
+        d = self.input_dim
+        R, F = spec.res, spec.n_feats
+        level_tbl = jax.lax.dynamic_slice_in_dim(
+            table, spec.offset, spec.size * F, axis=table.ndim - 1)
+        if bidx is not None:
+            # batched CP: fold the instance axis into the feature contraction
+            # by gathering per-point lines is gather-bound again; instead use
+            # per-instance lines via one extra einsum over the (small) B axis.
+            B = level_tbl.shape[0]
+            lines = level_tbl.reshape(B, d, R, F)
+        else:
+            lines = level_tbl.reshape(d, R, F)
+        pos = pos01 * (R - 1)                                   # [d, N]
+        iota = jnp.arange(R, dtype=pos.dtype)                   # [R]
+        feats = None
+        for ax in range(d):
+            w = jax.nn.relu(1.0 - jnp.abs(pos[ax][None, :] - iota[:, None]))
+            if bidx is None:
+                f_ax = jnp.dot(lines[ax].T, w,
+                               preferred_element_type=jnp.float32)  # [F, N]
+            else:
+                per_inst = jnp.einsum("brf,rn->bfn", lines[:, ax], w)
+                f_ax = jnp.take_along_axis(
+                    per_inst, bidx[None, None, :].repeat(F, 1), axis=0)[0]
+            feats = f_ax if feats is None else feats * f_ax
+        return feats
+
     def _level_features(self, table: jnp.ndarray, cell: jnp.ndarray,
                         frac: jnp.ndarray, spec: LevelSpec,
                         bidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -159,7 +250,7 @@ class LoTDEncoding:
             rows, w = self._corner_rows_weight(cell, frac, corner, spec)
             if bidx is not None:
                 rows = bidx * spec.size + rows
-            feats = jnp.take(tbl, rows, axis=1, mode="clip")      # [F, N]
+            feats = gather_cols(tbl, rows)                        # [F, N]
             term = w[None, :] * feats
             acc = term if acc is None else acc + term
         return acc
@@ -181,11 +272,15 @@ class LoTDEncoding:
         pos_all = jnp.clip(xf, 0.0, 1.0).T                        # [d, N]
         outs = []
         for li, spec in enumerate(self.specs):
-            pos = pos_all * spec.res
-            cell = jnp.minimum(jnp.floor(pos), spec.res - 1)
-            frac = pos - cell
-            f = self._level_features(params["table"], cell.astype(jnp.int32),
-                                     frac, spec, bf)              # [F, N]
+            if spec.typ == "cp":
+                f = self._cp_level_features(params["table"], pos_all, spec, bf)
+            else:
+                pos = pos_all * spec.res
+                cell = jnp.minimum(jnp.floor(pos), spec.res - 1)
+                frac = pos - cell
+                f = self._level_features(params["table"],
+                                         cell.astype(jnp.int32),
+                                         frac, spec, bf)          # [F, N]
             if max_level is not None:
                 f = f * (li <= max_level)
             outs.append(f)
@@ -210,6 +305,13 @@ def make_lotd(cfg: Dict[str, Any], input_dim: int = 3) -> LoTDEncoding:
     anneal = cfg.get("anneal_cfg")
     if "levels" in cfg:
         levels = [tuple(l) for l in cfg["levels"]]
+    elif cfg.get("type") == "tpu_mixed" or cfg.get("mixed"):
+        levels = tpu_mixed_levels(
+            cfg.get("n_levels", 8), base_res=cfg.get("base_res", 16),
+            max_res=cfg.get("max_res", 2048), n_feats=cfg.get("n_feats", 4),
+            n_hash_levels=cfg.get("n_hash_levels", 2),
+            log2_hashmap_size=cfg.get("log2_hashmap_size", 19),
+            cp_max_res=cfg.get("cp_max_res", 1024), input_dim=input_dim)
     elif cfg.get("auto_compute_cfg", {}).get("type", "").startswith("ngp") or "target_num_params" in cfg:
         ac = cfg.get("auto_compute_cfg", cfg)
         levels = auto_compute_ngp_cfg(

@@ -210,7 +210,9 @@ class NeuSField:
 
     # -- geometry ------------------------------------------------------------
     def _sdf_feat_impl(self, params: Params, x: jnp.ndarray,
-                       max_level: Optional[jnp.ndarray]
+                       max_level: Optional[jnp.ndarray],
+                       bidx: Optional[jnp.ndarray] = None,
+                       cond: Optional[jnp.ndarray] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.geometry == "lotd":
             u = self.space.normalize_coords(x)
@@ -231,7 +233,9 @@ class NeuSField:
             return out[..., 0] * self.sdf_scale, out[..., 1:]
 
     def query_sdf_feat(self, params: Params, x: jnp.ndarray,
-                       max_level: Optional[jnp.ndarray] = None
+                       max_level: Optional[jnp.ndarray] = None,
+                       bidx: Optional[jnp.ndarray] = None,
+                       cond: Optional[jnp.ndarray] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x: [..., 3] object coords -> (sdf [...], geo feature [..., F]).
 
@@ -239,9 +243,10 @@ class NeuSField:
         (jax.checkpoint) — the per-corner gather temps dominate HBM otherwise.
         """
         if self.remat:
-            fn = jax.checkpoint(lambda p, xx: self._sdf_feat_impl(p, xx, max_level))
-            return fn(params, x)
-        return self._sdf_feat_impl(params, x, max_level)
+            fn = jax.checkpoint(
+                lambda p, xx, bb, cc: self._sdf_feat_impl(p, xx, max_level, bb, cc))
+            return fn(params, x, bidx, cond)
+        return self._sdf_feat_impl(params, x, max_level, bidx, cond)
 
     def query_sdf(self, params: Params, x: jnp.ndarray, **kw) -> jnp.ndarray:
         return self.query_sdf_feat(params, x, **kw)[0]
@@ -250,7 +255,9 @@ class NeuSField:
         return self.nablas_eps
 
     def sdf_nablas_feat(self, params: Params, x: jnp.ndarray,
-                        max_level: Optional[jnp.ndarray] = None
+                        max_level: Optional[jnp.ndarray] = None,
+                        bidx: Optional[jnp.ndarray] = None,
+                        cond: Optional[jnp.ndarray] = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """(sdf, nablas, feat). Two nablas modes:
 
@@ -261,18 +268,25 @@ class NeuSField:
         formulation for hash-grid SDFs)."""
         if self.nablas_mode == "autodiff":
             def f(xx):
-                return self.query_sdf_feat(params, xx, max_level=max_level)
+                return self.query_sdf_feat(params, xx, max_level=max_level,
+                                           bidx=bidx, cond=cond)
             (sdf, feat), vjp_fn = jax.vjp(f, x)
             nablas, = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feat)))
             return sdf, nablas, feat
 
         eps = self._fd_eps()
-        sdf, feat = self.query_sdf_feat(params, x, max_level=max_level)
+        sdf, feat = self.query_sdf_feat(params, x, max_level=max_level,
+                                        bidx=bidx, cond=cond)
         # tetrahedron taps (PermutoSDF / instant-nsr practice)
         k = jnp.asarray([[1.0, -1.0, -1.0], [-1.0, 1.0, -1.0],
                          [-1.0, -1.0, 1.0], [1.0, 1.0, 1.0]], x.dtype)
         taps = x[..., None, :] + eps * k                      # [..., 4, 3]
-        sdf_taps, _ = self.query_sdf_feat(params, taps, max_level=max_level)
+        bidx_taps = None if bidx is None else jnp.broadcast_to(
+            bidx[..., None], taps.shape[:-1])
+        cond_taps = None if cond is None else jnp.broadcast_to(
+            cond[..., None, :], taps.shape[:-1] + (cond.shape[-1],))
+        sdf_taps, _ = self.query_sdf_feat(params, taps, max_level=max_level,
+                                          bidx=bidx_taps, cond=cond_taps)
         nablas = jnp.einsum("...k,kd->...d", sdf_taps, k) / (4.0 * eps)
         return sdf, nablas, feat
 
@@ -329,6 +343,8 @@ class NeuSField:
                   forward_inv_s: Optional[float] = None,
                   h_appear: Optional[jnp.ndarray] = None,
                   max_level: Optional[jnp.ndarray] = None,
+                  bidx: Optional[jnp.ndarray] = None,
+                  cond: Optional[jnp.ndarray] = None,
                   occ_t_fn=None) -> Dict[str, Any]:
         """Hierarchical NeuS ray query, fixed shapes throughout.
 
@@ -362,10 +378,29 @@ class NeuSField:
             t = n_[:, None] + (f_ - n_)[:, None] * u
             m_coarse = jnp.broadcast_to(hit[:, None], t.shape)
 
+        def _bx(shape):
+            return None if bidx is None else jnp.broadcast_to(
+                bidx[:, None], shape).reshape(-1)
+
+        def _cx(shape):
+            return None if cond is None else jnp.broadcast_to(
+                cond[:, None, :], shape + (cond.shape[-1],)
+                ).reshape(-1, cond.shape[-1])
+
+        def _extras(shape):
+            d = {}
+            if bidx is not None:
+                d["b"] = _bx(shape)
+            if cond is not None:
+                d["c"] = _cx(shape)
+            return d
+
         x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
         sdf = map_chunked(
-            lambda xc: self.query_sdf_feat(params, xc, max_level=max_level)[0],
-            x.reshape(-1, 3), self.eval_chunk).reshape(x.shape[:-1])
+            lambda a: self.query_sdf_feat(params, a["x"], max_level=max_level,
+                                          bidx=a.get("b"), cond=a.get("c"))[0],
+            {"x": x.reshape(-1, 3), **_extras(x.shape[:-1])},
+            self.eval_chunk).reshape(x.shape[:-1])
         mask = m_coarse
 
         # --- multi-stage upsampling ------------------------------------------
@@ -379,8 +414,10 @@ class NeuSField:
             t_new = sample_pdf(bins, w, nf, key=sk, det=not perturb)
             x_new = rays_o[:, None, :] + t_new[..., None] * rays_d[:, None, :]
             sdf_new = map_chunked(
-                lambda xc: self.query_sdf_feat(params, xc, max_level=max_level)[0],
-                x_new.reshape(-1, 3), self.eval_chunk).reshape(x_new.shape[:-1])
+                lambda a: self.query_sdf_feat(params, a["x"], max_level=max_level,
+                                              bidx=a.get("b"), cond=a.get("c"))[0],
+                {"x": x_new.reshape(-1, 3), **_extras(x_new.shape[:-1])},
+                self.eval_chunk).reshape(x_new.shape[:-1])
             m_new = jnp.broadcast_to(hit[:, None], t_new.shape)
             t = jnp.concatenate([t, t_new], axis=-1)
             sdf = jnp.concatenate([sdf, sdf_new], axis=-1)
@@ -391,8 +428,10 @@ class NeuSField:
         x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
         shp = x.shape[:-1]
         sdf, nablas, feat = map_chunked(
-            lambda xc: self.sdf_nablas_feat(params, xc, max_level=max_level),
-            x.reshape(-1, 3), self.eval_chunk)
+            lambda a: self.sdf_nablas_feat(params, a["x"], max_level=max_level,
+                                           bidx=a.get("b"), cond=a.get("c")),
+            {"x": x.reshape(-1, 3), **_extras(shp)},
+            self.eval_chunk)
         sdf = sdf.reshape(shp)
         nablas = nablas.reshape(shp + (3,))
         feat = feat.reshape(shp + (feat.shape[-1],))

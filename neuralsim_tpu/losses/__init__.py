@@ -5,3 +5,5 @@ from .core import (clearance_loss, color_lipschitz_loss, eikonal_loss,
                    lidar_loss, line_of_sight_loss, mask_entropy_loss,
                    mask_occupancy_loss, photometric_loss, ray_vw_entropy_loss,
                    sdf_curvature_loss, sparsity_loss, weight_reg_loss)
+from .mono import erode_mask, mono_depth_loss, mono_normals_loss, solve_scale_shift
+from .perceptual import perceptual_loss, s3im_loss

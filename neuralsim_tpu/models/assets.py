@@ -357,6 +357,116 @@ class LearnableParams(AssetModel):
         return make_transform(R, t)
 
 
+class ADGenerativePermutoConcatNeuSObj(AssetModel):
+    """Categorical shared model: ONE generative permuto-NeuS for all
+    instances of a class, per-instance auto-decoder latents.
+
+    Reference analog: ``AD_GenerativePermutoConcatNeuSObj``
+    (shared/batched_neus.py:295; populate builds z_ins embedding + batched
+    occ grid with the class's average aspect ratio :321-365; conditioning via
+    set_condition({'ins_id': ...}) :380-410 — SURVEY.md §2.2).
+    """
+
+    assignment = AssetAssignment.MULTI_OBJ_ONE_SCENE
+    use_time = False
+
+    def populate(self, scene=None, obj_ids=None) -> None:
+        from ..accel import OccGridEmaBatched
+        from ..fields.conditional import ConditionalPermutoNeuSField
+        mp = self.model_params
+        obj_ids = list(obj_ids or [])
+        self.instance_index = {oid: i for i, oid in enumerate(obj_ids)}
+
+        # canonical unit box with the class-average aspect ratio (reference
+        # builds the shared space from mean instance scales)
+        aspect = np.ones(3, np.float32)
+        if scene is not None and obj_ids:
+            scales = []
+            for oid in obj_ids:
+                sc = np.asarray(scene.drawables[oid].frame_data["scale"])
+                valid = np.asarray(scene.drawables[oid].frame_data["valid"])
+                if valid.any():
+                    scales.append(sc[valid].mean(0))
+            if scales:
+                aspect = np.mean(scales, 0)
+                aspect = aspect / max(aspect.max(), 1e-6)
+        space = AABBSpace(-aspect, aspect)
+
+        self.field = ConditionalPermutoNeuSField(
+            space,
+            n_instances=max(len(obj_ids), 1),
+            z_dim=mp.get("z_dim", 4),
+            use_time=self.use_time,
+            permuto_cfg=mp.get("permuto_cfg", {"n_levels": 12, "base_res": 4.0,
+                                               "max_res": 256.0,
+                                               "log2_hashmap_size": 17}),
+            geo_feat_dim=mp.get("geo_feat_dim", 15),
+            radiance_hidden=mp.get("radiance_hidden", 64),
+            ln_inv_s_init=float(np.log(mp.get("inv_s_init", 20.0))),
+            cos_anneal_stop_it=mp.get("cos_anneal_stop_it", 0))
+        self.query_cfg = dict(mp.get("query_cfg", {}))
+        accel_cfg = mp.get("accel_cfg")
+        if accel_cfg:
+            self.accel = OccGridEmaBatched(
+                space, n_instances=max(len(obj_ids), 1),
+                resolution=accel_cfg.get("resolution", 32),
+                occ_thre=accel_cfg.get("occ_thre", 0.3),
+                ema_decay=accel_cfg.get("ema_decay", 0.95),
+                occ_inv_s=accel_cfg.get("inv_s", 256.0))
+
+
+class ADDynamicGenerativePermutoConcatNeuSObj(ADGenerativePermutoConcatNeuSObj):
+    """Batched AND time-conditioned categorical model (pedestrians/cyclists)
+    — reference AD_Dynamic_GenerativePermutoConcatNeuSObj_* variants
+    (shared/batched_dynamic_neus.py:31,290)."""
+
+    use_time = True
+
+
+class DynamicPermutoConcatNeuSObj(AssetModel):
+    """Time-conditioned NeuS for one dynamic object (reference
+    DynamicPermutoConcatNeuSObj, single/dynamic_neus.py:28)."""
+
+    assignment = AssetAssignment.OBJECT
+
+    def populate(self, scene=None, obj_ids=None) -> None:
+        from ..fields.conditional import ConditionalPermutoNeuSField
+        mp = self.model_params
+        extent = mp.get("extent", 1.0)
+        self.field = ConditionalPermutoNeuSField(
+            AABBSpace([-extent] * 3, [extent] * 3),
+            n_instances=0, use_time=True,
+            permuto_cfg=mp.get("permuto_cfg", {"n_levels": 12, "base_res": 4.0,
+                                               "max_res": 256.0,
+                                               "log2_hashmap_size": 17}),
+            geo_feat_dim=mp.get("geo_feat_dim", 15),
+            radiance_hidden=mp.get("radiance_hidden", 64),
+            ln_inv_s_init=float(np.log(mp.get("inv_s_init", 20.0))))
+        self.query_cfg = dict(mp.get("query_cfg", {}))
+
+
+class PermutoNeuSObj(AssetModel):
+    """Unconditioned permutohedral NeuS object (reference PermutoNeuSObj,
+    single/neus.py:64)."""
+
+    assignment = AssetAssignment.OBJECT
+
+    def populate(self, scene=None, obj_ids=None) -> None:
+        from ..fields.conditional import ConditionalPermutoNeuSField
+        mp = self.model_params
+        extent = mp.get("extent", 1.0)
+        self.field = ConditionalPermutoNeuSField(
+            AABBSpace([-extent] * 3, [extent] * 3),
+            n_instances=0, use_time=False,
+            permuto_cfg=mp.get("permuto_cfg", {"n_levels": 12, "base_res": 4.0,
+                                               "max_res": 512.0,
+                                               "log2_hashmap_size": 17}),
+            geo_feat_dim=mp.get("geo_feat_dim", 15),
+            radiance_hidden=mp.get("radiance_hidden", 64),
+            ln_inv_s_init=float(np.log(mp.get("inv_s_init", 20.0))))
+        self.query_cfg = dict(mp.get("query_cfg", {}))
+
+
 class DummyBox(AssetModel):
     """Space-only placeholder (reference asset_base.py:112)."""
 

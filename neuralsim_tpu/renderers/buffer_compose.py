@@ -77,9 +77,15 @@ class BufferComposeRenderer:
                 kb = jax.random.fold_in(key, i) if key is not None else None
                 o_l, d_l, dn = frozen.rays_to_node(ob.obj_id, rays_o, rays_d)
                 valid = frozen.valid(ob.obj_id)
+                qkw = dict(ob.query_cfg)
+                if ob.bidx is not None:
+                    # shared categorical model: constant instance index for
+                    # this drawable (reference set_condition({'ins_id': ...}))
+                    qkw["bidx"] = jnp.full(rays_o.shape[:-1], ob.bidx,
+                                           jnp.int32)
                 buf = ob.field.ray_query(
                     params[ob.model_id], o_l, d_l, key=kb, it=it,
-                    with_rgb=with_rgb, **ob.query_cfg)
+                    with_rgb=with_rgb, **qkw)
                 # object-frame t -> world t (scale factor dn), invalid frames
                 # masked out entirely
                 buf = dict(buf)
@@ -157,9 +163,10 @@ class BufferComposeRenderer:
             asset = bank.assets[mid]
             if asset.field is None:
                 continue
+            bidx = getattr(asset, "instance_index", {}).get(oid)
             objects.append(ObjectBinding(oid, mid, asset.field,
                                          {**(obj_query_cfg or {}),
-                                          **asset.query_cfg}))
+                                          **asset.query_cfg}, bidx=bidx))
         scene_models = {}
         for role, cname in (("cr", cr_class), ("distant", distant_class),
                             ("sky", sky_class)):

@@ -34,7 +34,8 @@ class SingleVolumeRenderer:
                  query_cfg: Optional[Dict[str, Any]] = None,
                  distant_query_cfg: Optional[Dict[str, Any]] = None,
                  depth_use_normalized_vw: bool = True,
-                 param_keys: Optional[Dict[str, str]] = None):
+                 param_keys: Optional[Dict[str, str]] = None,
+                 accels: Optional[Dict[str, Any]] = None):
         self.models = models
         self.query_cfg = dict(query_cfg or {})
         self.distant_query_cfg = dict(distant_query_cfg or {})
@@ -42,6 +43,8 @@ class SingleVolumeRenderer:
         # role -> key in the params dict; identity by default, model_ids when
         # driven by an AssetBank (flat {model_id: params} tree)
         self.param_keys = dict(param_keys or {})
+        # role -> OccGridEma (occupancy acceleration; state passed per-call)
+        self.accels = dict(accels or {})
 
     def pkey(self, role: str) -> str:
         return self.param_keys.get(role, role)
@@ -58,9 +61,12 @@ class SingleVolumeRenderer:
                   only_cr: bool = False,
                   h_appear: Optional[jnp.ndarray] = None,
                   query_overrides: Optional[Dict[str, Any]] = None,
+                  occ_states: Optional[Dict[str, Any]] = None,
                   return_buffer: bool = False) -> Dict[str, Any]:
         """Render a flat batch of rays [N, 3] -> ``rendered`` dict
-        (SURVEY.md App. A.1 contract)."""
+        (SURVEY.md App. A.1 contract). ``occ_states``: {role: OccGridState}
+        carried by the trainer — enables grid-skipping coarse proposals
+        (reference ``march_occ_*`` query modes)."""
         cr = self.models["cr"]
         kcr = kdv = None
         if key is not None:
@@ -68,6 +74,12 @@ class SingleVolumeRenderer:
         cfg = dict(self.query_cfg)
         if query_overrides:
             cfg.update(query_overrides)
+        if occ_states and "cr" in occ_states and "cr" in self.accels:
+            accel = self.accels["cr"]
+            st = occ_states["cr"]
+            cfg.setdefault("occ_t_fn",
+                           lambda ro, rd, n_, f_, nc, k:
+                           accel.ray_proposal(st, ro, rd, n_, f_, nc, key=k))
         buf_cr = cr.ray_query(params[self.pkey("cr")], rays_o, rays_d, key=kcr, it=it,
                               near=near, far=far, with_rgb=with_rgb, **cfg)
         buffers = [buf_cr]

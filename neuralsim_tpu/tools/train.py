@@ -60,11 +60,15 @@ def build_everything(cfg):
     bind("distant", rcfg.get("distant_class", "Distant"))
     bind("sky", rcfg.get("sky_class", "Sky"))
 
+    accels = {}
+    if getattr(cr_asset, "accel", None) is not None and \
+            rcfg.get("use_occ_accel", True):
+        accels["cr"] = cr_asset.accel
     renderer = SingleVolumeRenderer(
         roles,
         query_cfg={**cr_asset.query_cfg, **dict(rcfg.get("query_cfg", {}))},
         distant_query_cfg=dict(rcfg.get("distant_query_cfg", {})),
-        param_keys=param_keys)
+        param_keys=param_keys, accels=accels)
 
     # --- trainer -------------------------------------------------------------
     tcfg = cfg.get("training", {})
@@ -106,7 +110,8 @@ def lift_lidar_batch(scene, batch) -> Dict[str, Any]:
 
 
 def validate(scene, renderer, params, loader, cam_id: str, fi: int,
-             logger, it: int, downscale: int = 2, rayschunk: int = 4096):
+             logger, it: int, downscale: int = 2, rayschunk: int = 4096,
+             occ=None):
     """Render one validation frame, log PSNR + images (reference
     validate_cameras, train.py:1130)."""
     import jax
@@ -120,6 +125,7 @@ def validate(scene, renderer, params, loader, cam_id: str, fi: int,
     fr = scene.slice_at(fi)
     ro, rd = camera_get_selected_rays(fr, cam_id, jnp.asarray(frame["rays_xy"]))
     rendered = renderer.render_chunked(params, ro, rd, rayschunk=rayschunk,
+                                       occ_states=occ,
                                        query_overrides={"perturb": False})
     H, W = frame["hw"]
     rgb = np.asarray(rendered["rgb_volume"]).reshape(H, W, 3)
@@ -175,8 +181,19 @@ def main_function(cfg) -> Dict[str, Any]:
         state = type(state)(*restored) if not isinstance(restored, type(state)) else restored
         print(f"resumed at it={int(state.it)}")
 
+    # error-map importance sampling (reference ErrorMap/ImpSampler,
+    # SURVEY.md App. C)
+    imp_sampler = None
+    em_cfg = tcfg.get("error_map", {})
+    if em_cfg:
+        from ..training.error_map import ErrorMap, ImpSampler
+        imp_sampler = ImpSampler(
+            ErrorMap(scene.n_frames, tuple(em_cfg.get("hw", (32, 64)))),
+            frac_uniform=em_cfg.get("frac_uniform", 0.5),
+            enable_after=em_cfg.get("enable_after", 0))
     pixel_sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 4096),
-                                 seed=cfg.get("seed", 42))
+                                 seed=cfg.get("seed", 42),
+                                 imp_sampler=imp_sampler)
     lidar_sampler = LidarSampler(loader, n_rays=tcfg.get("n_rays_lidar", 4096)) \
         if tcfg.get("with_lidar") else None
 
@@ -190,9 +207,15 @@ def main_function(cfg) -> Dict[str, Any]:
     m = {}
     for it in range(int(state.it), num_iters):
         key, sk = jax.random.split(key)
-        batch = lift_pixel_batch(scene, pixel_sampler.sample())
+        raw = pixel_sampler.sample()
+        batch = lift_pixel_batch(scene, raw)
         state, m = trainer.train_step(state, batch, sk, "pixel")
         rays_done += tcfg.get("n_rays", 4096)
+        if imp_sampler is not None and "err_map" in m:
+            W, H = loader.image_wh(raw["cam_id"])
+            imp_sampler.update(raw["rays_fidx"], raw["rays_sel"][:, 1],
+                               raw["rays_sel"][:, 0],
+                               np.asarray(m["err_map"]), H, W)
         if lidar_sampler is not None:
             lb = lidar_sampler.sample()
             if lb is not None:
@@ -210,14 +233,14 @@ def main_function(cfg) -> Dict[str, Any]:
                   f"rays/s={rate:.0f}", flush=True)
         if (it + 1) % i_val == 0:
             p = validate(scene, renderer, state.params, loader, val_cam,
-                         fi=0, logger=logger, it=it,
+                         fi=0, logger=logger, it=it, occ=state.occ,
                          downscale=tcfg.get("val_downscale", 2))
             print(f"[val] it={it} psnr={p:.2f}", flush=True)
         ckpt.maybe_save(state, it)
 
     ckpt.save(state, num_iters, tag="final")
     p = validate(scene, renderer, state.params, loader, val_cam, fi=0,
-                 logger=logger, it=num_iters)
+                 logger=logger, it=num_iters, occ=state.occ)
     logger.save_stats()
     logger.close()
     print(f"done: final psnr={p:.2f} exp_dir={exp_dir}", flush=True)

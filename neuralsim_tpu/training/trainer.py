@@ -20,8 +20,9 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import (clearance_loss, eikonal_loss, lidar_loss,
-                      mask_entropy_loss, mask_occupancy_loss,
-                      photometric_loss, sparsity_loss)
+                      mask_entropy_loss, mask_occupancy_loss, mono_depth_loss,
+                      mono_normals_loss, photometric_loss, s3im_loss,
+                      sparsity_loss)
 from .optimizers import make_optimizer
 
 
@@ -29,6 +30,9 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     it: jnp.ndarray
+    # occupancy-grid EMA states per renderer role (reference OccGridEma
+    # buffers; carried explicitly as pytree state — SURVEY.md §7 hard parts)
+    occ: Any = None
 
 
 class Trainer:
@@ -66,11 +70,13 @@ class Trainer:
         self.optimizer = make_optimizer(self.training_cfgs, params,
                                         self.default_optim_cfg)
         opt_state = self.optimizer.init(params)
-        return TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        occ = {role: accel.init_state()
+               for role, accel in getattr(self.renderer, "accels", {}).items()} or None
+        return TrainState(params, opt_state, jnp.asarray(0, jnp.int32), occ)
 
     # ------------------------------------------------------------------
     def compute_losses(self, params, batch: Dict[str, jnp.ndarray], it, key,
-                       step_type: str = "pixel") -> Tuple[jnp.ndarray, Dict]:
+                       step_type: str = "pixel", occ=None) -> Tuple[jnp.ndarray, Dict]:
         """Assemble the loss dict for one batch (reference loss assembly,
         train.py:617-674)."""
         k_render, k_uniform, k_eik = jax.random.split(key, 3)
@@ -79,9 +85,15 @@ class Trainer:
         aux: Dict[str, Any] = {}
 
         with_rgb = step_type != "lidar"
+        # image_patch batches arrive [ph, pw, ...]; flatten for the renderer
+        patch_hw = None
+        if step_type == "image_patch":
+            patch_hw = batch["rays_o"].shape[:2]
+            batch = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
+                     if hasattr(v, "reshape")}
         rendered = self.renderer.ray_query(
             params, batch["rays_o"], batch["rays_d"], key=k_render, it=it,
-            with_rgb=with_rgb, return_buffer=True,
+            with_rgb=with_rgb, return_buffer=True, occ_states=occ,
             only_cr=(step_type == "lidar"))
         buf = rendered.get("merged_buffer")
 
@@ -96,6 +108,31 @@ class Trainer:
             if "mask_entropy" in self.loss_cfgs:
                 losses["loss_mask_entropy"] = mask_entropy_loss(
                     rendered, it, self.loss_cfgs["mask_entropy"])
+
+        if step_type == "image_patch":
+            if "rgb" in self.loss_cfgs:
+                losses["loss_rgb"], ph_aux = photometric_loss(
+                    rendered, batch, it, self.loss_cfgs["rgb"])
+            if "s3im" in self.loss_cfgs:
+                losses["loss_s3im"] = s3im_loss(
+                    rendered["rgb_volume"], batch["image_rgb"], it,
+                    self.loss_cfgs["s3im"], key=k_eik)
+            if "mono_depth" in self.loss_cfgs and "image_mono_depth" in batch:
+                ph, pw = patch_hw
+                dm = batch.get("image_occupancy_mask",
+                               jnp.ones(batch["rays_o"].shape[0]))
+                losses["loss_mono_depth"] = mono_depth_loss(
+                    rendered["depth_volume"].reshape(1, ph, pw),
+                    batch["image_mono_depth"].reshape(1, ph, pw),
+                    dm.reshape(1, ph, pw) > 0.5, it,
+                    self.loss_cfgs["mono_depth"])
+            if "mono_normals" in self.loss_cfgs and                     "image_mono_normals" in batch and "normals_volume" in rendered:
+                nm = batch.get("image_occupancy_mask",
+                               jnp.ones(batch["rays_o"].shape[0]))
+                losses["loss_mono_normals"] = mono_normals_loss(
+                    rendered["normals_volume"], batch["image_mono_normals"],
+                    nm > 0.5, it, self.loss_cfgs["mono_normals"],
+                    w2c_rot=batch.get("w2c_rot"))
 
         if step_type == "lidar" and "lidar" in self.loss_cfgs:
             losses["loss_lidar"], lid_aux = lidar_loss(
@@ -134,13 +171,30 @@ class Trainer:
         """One optimizer step. Jitted; donate state for in-place updates."""
 
         def loss_fn(params):
-            return self.compute_losses(params, batch, state.it, key, step_type)
+            return self.compute_losses(params, batch, state.it, key, step_type,
+                                       occ=state.occ)
 
         (total, extras), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        # EMA occupancy-grid refresh on its cadence (reference
+        # n_steps_between_update; state carried explicitly)
+        occ = state.occ
+        if occ is not None:
+            k_occ = jax.random.fold_in(key, 7)
+            occ = dict(occ)
+            for role, accel in self.renderer.accels.items():
+                field = self.renderer.models[role]
+                frozen_p = jax.lax.stop_gradient(params[self.renderer.pkey(role)])
+                occ[role] = accel.maybe_update(
+                    occ[role], lambda x: field.query_sdf(frozen_p, x),
+                    k_occ, state.it)
+
         metrics = {"loss_total": total, **extras["losses"], **extras["aux"]}
-        return TrainState(params, opt_state, state.it + 1), metrics
+        if occ is not None and "cr" in occ:
+            metrics["occ_frac"] = jnp.mean(occ["cr"].mask.astype(jnp.float32))
+        return TrainState(params, opt_state, state.it + 1, occ), metrics
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
