@@ -220,12 +220,17 @@ class LoTDEncoding:
         iota = jnp.arange(R, dtype=pos.dtype)                   # [R]
         feats = None
         for ax in range(d):
+            # bf16 tent kernel: halves the [R, N] bandwidth; the two nonzero
+            # weights per column lose <1e-3 precision, accumulation is f32
             w = jax.nn.relu(1.0 - jnp.abs(pos[ax][None, :] - iota[:, None]))
+            w = w.astype(jnp.bfloat16)
             if bidx is None:
-                f_ax = jnp.dot(lines[ax].T, w,
+                f_ax = jnp.dot(lines[ax].T.astype(jnp.bfloat16), w,
                                preferred_element_type=jnp.float32)  # [F, N]
             else:
-                per_inst = jnp.einsum("brf,rn->bfn", lines[:, ax], w)
+                per_inst = jnp.einsum("brf,rn->bfn",
+                                      lines[:, ax].astype(jnp.bfloat16), w,
+                                      preferred_element_type=jnp.float32)
                 f_ax = jnp.take_along_axis(
                     per_inst, bidx[None, None, :].repeat(F, 1), axis=0)[0]
             feats = f_ax if feats is None else feats * f_ax

@@ -127,12 +127,20 @@ class PermutoEncoding:
         rank = jnp.where(low, rank + d + 1, jnp.where(high, rank - d - 1, rank))
         rem0 = jnp.where(low, rem0 + d + 1, jnp.where(high, rem0 - (d + 1), rem0))
 
-        # barycentric coordinates from the sorted differential
+        # barycentric coordinates from the sorted differential. NOTE: the
+        # destination row differs PER POINT, so the scatter must pair
+        # (row_idx[n], n) — a bare bary.at[row_idx] would be row-selection
+        # with an O(N^2) broadcast (observed as a many-GiB backward alloc).
+        # One-hot matmul-free formulation: select via comparisons.
         diff = (elevated - rem0) * down                            # refreshed
-        bary = jnp.zeros((d + 2, N), pos.dtype)
-        for i in range(d + 1):
-            bary = bary.at[d - rank[i]].add(diff[i])
-            bary = bary.at[d + 1 - rank[i]].add(-diff[i])
+        bary_rows = []
+        for r in range(d + 2):
+            acc = jnp.zeros((N,), pos.dtype)
+            for i in range(d + 1):
+                acc = acc + jnp.where(d - rank[i] == r, diff[i], 0.0)
+                acc = acc + jnp.where(d + 1 - rank[i] == r, -diff[i], 0.0)
+            bary_rows.append(acc)
+        bary = jnp.stack(bary_rows, 0)
         bary = bary.at[0].add(1.0 + bary[d + 1])
 
         # simplex vertex keys: y_k = rem0 + canonical_k(rank)

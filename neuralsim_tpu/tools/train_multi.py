@@ -1,0 +1,114 @@
+"""Multi-object training CLI (code_multi analog).
+
+TPU-native re-design of ``code_multi/tools/train.py`` (reference — SURVEY.md
+§2.6/§3.2). Usage::
+
+    python -m neuralsim_tpu.tools.train_multi --config configs/synthetic_multi.yaml \
+        [--training.num_iters=2000] [--platform=cpu]
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+
+def build_everything_multi(cfg):
+    import jax
+    from ..dataio.dataloader import SceneDataLoader
+    from ..renderers.buffer_compose import BufferComposeRenderer
+    from ..scene import AssetBank, Scene
+    from ..training.multi_trainer import MultiObjectTrainer
+    from ..utils.misc import import_str
+
+    ds_cfg = cfg["dataset_cfg"]
+    dataset = import_str(ds_cfg["target"])(**ds_cfg.get("params", {}))
+    scenario = dataset.get_scenario(cfg.get("scenebank_cfg", {}).get(
+        "scenarios", [None])[0] or dataset.scene_ids()[0]) \
+        if hasattr(dataset, "scene_ids") else dataset.get_scenario()
+    scene = Scene.load_from_scenario(scenario)
+    bank = AssetBank.create(cfg["assetbank_cfg"], [scene])
+    rcfg = cfg.get("renderer", {})
+    renderer = BufferComposeRenderer.from_asset_bank(
+        scene, bank, obj_query_cfg=dict(rcfg.get("obj_query_cfg", {})),
+        cr_class=rcfg.get("cr_class", "Street"),
+        distant_class=rcfg.get("distant_class", "Distant"),
+        sky_class=rcfg.get("sky_class", "Sky"))
+    tcfg = cfg.get("training", {})
+    trainer = MultiObjectTrainer(
+        scene, renderer, loss_cfgs=dict(tcfg.get("losses", {})),
+        training_cfgs=bank.training_cfgs(),
+        uniform_sample_n=tcfg.get("uniform_sample_n", 256))
+    loader = SceneDataLoader(scene, dataset,
+                             with_mask=tcfg.get("with_mask", True)) \
+        if hasattr(dataset, "get_image") else None
+    return scene, bank, renderer, trainer, loader, dataset
+
+
+def main_function(cfg) -> Dict[str, Any]:
+    import jax
+    if cfg.get("platform"):
+        jax.config.update("jax_platforms", cfg["platform"])
+    if cfg.get("compile_cache", ".jax_cache"):
+        d = os.path.abspath(cfg.get("compile_cache", ".jax_cache"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+    import jax.numpy as jnp
+    from ..config import save_config
+    from ..dataio.dataloader import PixelSampler
+    from ..utils.checkpoint import CheckpointIO
+    from ..utils.logger import Logger
+    from .train import lift_pixel_batch, validate
+
+    scene, bank, renderer, trainer, loader, dataset = build_everything_multi(cfg)
+    tcfg = cfg.get("training", {})
+    exp_dir = cfg.get("exp_dir", os.path.join("logs", "exp_multi"))
+    os.makedirs(exp_dir, exist_ok=True)
+    save_config(cfg, os.path.join(exp_dir, "config.yaml"))
+    logger = Logger(exp_dir)
+    ckpt = CheckpointIO(os.path.join(exp_dir, "ckpts"),
+                        i_save_seconds=tcfg.get("i_save", 900))
+
+    key = jax.random.PRNGKey(cfg.get("seed", 42))
+    k_init, k_pre, key = jax.random.split(key, 3)
+    params = bank.init_params(k_init)
+    params = bank.training_initialize(params, k_pre)
+    state = trainer.init_state(key, params=params)
+
+    sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 2048),
+                           seed=cfg.get("seed", 42))
+    num_iters = int(tcfg.get("num_iters", 2000))
+    i_log = int(tcfg.get("i_log", 50))
+    t0 = time.time()
+    m = {}
+    for it in range(num_iters):
+        key, sk = jax.random.split(key)
+        raw = sampler.sample()
+        batch = lift_pixel_batch(scene, raw)
+        batch["rays_fidx"] = jnp.asarray(raw["rays_fidx"])
+        state, m = trainer.train_step(state, batch, sk)
+        if it % i_log == 0:
+            mm = {k: float(np.asarray(v)) for k, v in m.items()
+                  if np.asarray(v).ndim == 0}
+            logger.add_scalars(mm, it)
+            rate = (it + 1) * tcfg.get("n_rays", 2048) / (time.time() - t0)
+            print(f"it={it} loss={mm.get('loss_total', float('nan')):.4f} "
+                  f"rays/s={rate:.0f}", flush=True)
+        ckpt.maybe_save(state, it)
+
+    ckpt.save(state, num_iters, tag="final")
+    logger.save_stats()
+    logger.close()
+    print(f"done multi: exp_dir={exp_dir}", flush=True)
+    return {"exp_dir": exp_dir, "state": state}
+
+
+def main(argv=None):
+    from ..config import BaseConfig
+    return main_function(BaseConfig("neuralsim_tpu multi trainer").parse(argv))
+
+
+if __name__ == "__main__":
+    main()
