@@ -50,13 +50,15 @@ def main():
         space, geometry="lotd",
         encoding_cfg=enc_cfg,
         geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
-        ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500)
+        ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500,
+        remat=_os.environ.get("BENCH_REMAT", "1") == "1",
+        eval_chunk=int(_os.environ.get("BENCH_CHUNK", "65536")))
     renderer = SingleVolumeRenderer(
         {"cr": field,
          "distant": NeRFDistantField(inner_radius=1.0, geometry="mlp",
                                      geo_feat_dim=8, radiance_hidden=32),
          "sky": SimpleSky(hidden=32)},
-        query_cfg={"num_coarse": int(_os.environ.get("BENCH_COARSE", "32")),
+        query_cfg={"num_coarse": int(_os.environ.get("BENCH_COARSE", "16")),
                    "num_fine": (8, 8) if _os.environ.get("BENCH_OCC", "1") == "1"
                    else (16, 16),
                    "upsample_inv_s": 64.0, "upsample_inv_s_factors": (1.0, 4.0)},
