@@ -76,11 +76,29 @@ class PixelSampler:
 
     def __init__(self, loader: SceneDataLoader, *, n_rays: int = 4096,
                  equal_mode: str = "ray_batch", seed: int = 0,
-                 imp_sampler=None):
+                 imp_sampler=None, use_native: bool = True):
         self.loader = loader
         self.n_rays = n_rays
         self.rng = np.random.default_rng(seed)
         self.imp_sampler = imp_sampler
+        # native C++/OpenMP batch assembly over a stacked per-camera cache
+        # (native/libnsbatch.so; falls back silently when unavailable)
+        self._native: Dict[str, Any] = {}
+        if use_native and loader.images:
+            from .native_sampler import NativePixelSampler, load_native
+            if load_native() is not None:
+                for cid in loader.cam_ids:
+                    try:
+                        imgs = np.stack([loader.image(cid, fi)
+                                         for fi in range(loader.n_frames)])
+                        msks = None
+                        if loader.masks:
+                            msks = np.stack([loader.masks[(cid, fi)]
+                                             for fi in range(loader.n_frames)])
+                        self._native[cid] = NativePixelSampler(
+                            imgs, msks, seed=seed + hash(cid) % 1000)
+                    except Exception:
+                        pass
 
     def sample(self, n_rays: Optional[int] = None) -> Dict[str, Any]:
         n = n_rays or self.n_rays
@@ -88,6 +106,10 @@ class PixelSampler:
         cam_idx = self.rng.integers(0, len(L.cam_ids))
         cam_id = L.cam_ids[cam_idx]
         W, H = L.image_wh(cam_id)
+        if cam_id in self._native and self.imp_sampler is None:
+            out = self._native[cam_id].sample(n)
+            out["cam_id"] = cam_id
+            return out
         if self.imp_sampler is not None:
             fidx, xs, ys = self.imp_sampler.sample(self.rng, cam_id, n, H, W)
         else:

@@ -275,19 +275,21 @@ class NeuSField:
             return sdf, nablas, feat
 
         eps = self._fd_eps()
-        sdf, feat = self.query_sdf_feat(params, x, max_level=max_level,
-                                        bidx=bidx, cond=cond)
-        # tetrahedron taps (PermutoSDF / instant-nsr practice)
+        # tetrahedron taps (PermutoSDF / instant-nsr practice), fused with
+        # the center evaluation into ONE encoding pass
         k = jnp.asarray([[1.0, -1.0, -1.0], [-1.0, 1.0, -1.0],
                          [-1.0, -1.0, 1.0], [1.0, 1.0, 1.0]], x.dtype)
-        taps = x[..., None, :] + eps * k                      # [..., 4, 3]
-        bidx_taps = None if bidx is None else jnp.broadcast_to(
-            bidx[..., None], taps.shape[:-1])
-        cond_taps = None if cond is None else jnp.broadcast_to(
-            cond[..., None, :], taps.shape[:-1] + (cond.shape[-1],))
-        sdf_taps, _ = self.query_sdf_feat(params, taps, max_level=max_level,
-                                          bidx=bidx_taps, cond=cond_taps)
-        nablas = jnp.einsum("...k,kd->...d", sdf_taps, k) / (4.0 * eps)
+        offs = jnp.concatenate([jnp.zeros((1, 3), x.dtype), eps * k], 0)  # [5,3]
+        pts = x[..., None, :] + offs                          # [..., 5, 3]
+        bidx5 = None if bidx is None else jnp.broadcast_to(
+            bidx[..., None], pts.shape[:-1])
+        cond5 = None if cond is None else jnp.broadcast_to(
+            cond[..., None, :], pts.shape[:-1] + (cond.shape[-1],))
+        sdf5, feat5 = self.query_sdf_feat(params, pts, max_level=max_level,
+                                          bidx=bidx5, cond=cond5)
+        sdf = sdf5[..., 0]
+        feat = feat5[..., 0, :]
+        nablas = jnp.einsum("...k,kd->...d", sdf5[..., 1:], k) / (4.0 * eps)
         return sdf, nablas, feat
 
     # -- appearance ------------------------------------------------------------

@@ -345,11 +345,13 @@ class LearnableParams(AssetModel):
                     dtrans: jnp.ndarray) -> jnp.ndarray:
         """Apply small-rotation (exp-map) + translation deltas to [..., 4,4]."""
         from ..maths.transforms import make_transform, quat_to_rot
-        angle = jnp.linalg.norm(dquat, axis=-1, keepdims=True)
+        # smoothed norm: d||v||/dv at v=0 is NaN; sqrt(|v|^2 + eps^2) keeps
+        # the exp-map (sinc form) smooth through zero deltas
+        sq = jnp.sum(dquat * dquat, axis=-1, keepdims=True)
+        angle = jnp.sqrt(sq + 1e-16)
         half = 0.5 * angle
         w = jnp.cos(half)
-        xyz = dquat * jnp.where(angle > 1e-8,
-                                jnp.sin(half) / jnp.clip(angle, 1e-8), 0.5)
+        xyz = dquat * (jnp.sin(half) / angle)
         q = jnp.concatenate([w, xyz], axis=-1)
         dR = quat_to_rot(q)
         R = jnp.einsum("...ij,...jk->...ik", transform[..., :3, :3], dR)

@@ -45,9 +45,15 @@ class SingleVolumeRenderer:
         self.param_keys = dict(param_keys or {})
         # role -> OccGridEma (occupancy acceleration; state passed per-call)
         self.accels = dict(accels or {})
+        # optional per-ray image postprocessor asset (reference
+        # image_postprocessor / ColorTransform, single_volume_renderer.py:462)
+        self.postprocessor = None  # set via set_postprocessor
 
     def pkey(self, role: str) -> str:
         return self.param_keys.get(role, role)
+
+    def set_postprocessor(self, asset, model_id: str):
+        self.postprocessor = (asset, model_id)
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, len(self.models))
@@ -118,6 +124,15 @@ class SingleVolumeRenderer:
         if not return_buffer:
             rendered.pop("merged_buffer", None)
         return rendered
+
+    def apply_postprocess(self, params: Params, rgb: jnp.ndarray,
+                          rays_fidx: jnp.ndarray) -> jnp.ndarray:
+        """Per-frame learned color transform on composited rgb (reference
+        image_postprocessor hook)."""
+        if self.postprocessor is None:
+            return rgb
+        asset, mid = self.postprocessor
+        return asset.apply(params[mid], rgb, rays_fidx)
 
     def render_chunked(self, params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray, *,
                        rayschunk: int = 4096, key=None, **kw) -> Dict[str, Any]:

@@ -151,10 +151,28 @@ class Scene:
         return sc.finalize()
 
     # -- slicing ---------------------------------------------------------------
-    def slice_at(self, fi) -> FrozenScene:
+    def slice_at(self, fi, pose_deltas=None) -> FrozenScene:
         """Freeze at integer frame index/indices (reference scenes.py:167;
-        batched indices supported for joint frame-pixel sampling)."""
-        return FrozenScene(self, [n.slice_at(fi) for n in self.nodes_topo])
+        batched indices supported for joint frame-pixel sampling).
+
+        ``pose_deltas``: optional {node_id: {dquat [T,3], dtrans [T,3]}}
+        LearnableParams tree — deltas are gathered at ``fi`` and applied to
+        the node's local transform INSIDE the (jitted) slice so pose
+        gradients flow to the refinement parameters (reference
+        RotationQuaternionRefinedAdd/TranslationRefinedAdd semantics,
+        learnable_params.py:98-112)."""
+        data = []
+        fi_arr = jnp.asarray(fi)
+        for n in self.nodes_topo:
+            d = n.slice_at(fi)
+            if pose_deltas and n.id in pose_deltas:
+                from ..models.assets import LearnableParams
+                pd = pose_deltas[n.id]
+                d = dict(d)
+                d["transform"] = LearnableParams.apply_delta(
+                    d["transform"], pd["dquat"][fi_arr], pd["dtrans"][fi_arr])
+            data.append(d)
+        return FrozenScene(self, data)
 
     def interp_at(self, ts) -> FrozenScene:
         """Freeze at continuous timestamp(s) (reference scenes.py:200)."""

@@ -51,11 +51,20 @@ class Trainer:
     def __init__(self, renderer, loss_cfgs: Dict[str, Dict],
                  training_cfgs: Optional[Dict[str, Dict]] = None,
                  uniform_sample_n: int = 1024,
-                 default_optim_cfg: Optional[Dict] = None):
+                 default_optim_cfg: Optional[Dict] = None,
+                 scene=None, pose_model_id: Optional[str] = None,
+                 pose_enable_after: int = 0):
         self.renderer = renderer
         self.loss_cfgs = dict(loss_cfgs)
         self.training_cfgs = dict(training_cfgs or {})
         self.uniform_sample_n = uniform_sample_n
+        # pose refinement: when set, pixel batches carrying rays_xy/rays_fidx
+        # are ray-lifted INSIDE the jitted loss with LearnableParams deltas
+        # applied to the scenario poses (reference defers lifting to the
+        # trainer for exactly this, dataio/data_loader/__init__.py:22-30)
+        self.scene = scene
+        self.pose_model_id = pose_model_id
+        self.pose_enable_after = pose_enable_after
         self.default_optim_cfg = default_optim_cfg or {"lr": 1e-2, "betas": (0.9, 0.99),
                                                        "eps": 1e-15}
         self.optimizer: Optional[optax.GradientTransformation] = None
@@ -76,7 +85,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def compute_losses(self, params, batch: Dict[str, jnp.ndarray], it, key,
-                       step_type: str = "pixel", occ=None) -> Tuple[jnp.ndarray, Dict]:
+                       step_type: str = "pixel", occ=None,
+                       cam_id: Optional[str] = None) -> Tuple[jnp.ndarray, Dict]:
         """Assemble the loss dict for one batch (reference loss assembly,
         train.py:617-674)."""
         k_render, k_uniform, k_eik = jax.random.split(key, 3)
@@ -85,6 +95,20 @@ class Trainer:
         aux: Dict[str, Any] = {}
 
         with_rgb = step_type != "lidar"
+        # in-jit ray lifting with learnable pose deltas
+        if "rays_xy" in batch and self.scene is not None:
+            from ..scene.observers import camera_get_selected_rays
+            deltas = None
+            if self.pose_model_id and self.pose_model_id in params:
+                gate = (jnp.asarray(it) >= self.pose_enable_after).astype(
+                    jnp.float32)
+                deltas = jax.tree.map(lambda a: a * gate,
+                                      params[self.pose_model_id])
+            frozen = self.scene.slice_at(batch["rays_fidx"], pose_deltas=deltas)
+            ro, rd = camera_get_selected_rays(frozen, cam_id, batch["rays_xy"])
+            batch = {**{k: v for k, v in batch.items()
+                        if k not in ("rays_xy", "rays_fidx")},
+                     "rays_o": ro, "rays_d": rd}
         # image_patch batches arrive [ph, pw, ...]; flatten for the renderer
         patch_hw = None
         if step_type == "image_patch":
@@ -165,14 +189,16 @@ class Trainer:
         return total, {"losses": losses, "aux": aux}
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
+    @partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=(1,))
     def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
-                   key, step_type: str = "pixel") -> Tuple[TrainState, Dict]:
-        """One optimizer step. Jitted; donate state for in-place updates."""
+                   key, step_type: str = "pixel",
+                   cam_id: Optional[str] = None) -> Tuple[TrainState, Dict]:
+        """One optimizer step. Jitted; donate state for in-place updates.
+        ``cam_id`` (static) selects the camera for in-jit ray lifting."""
 
         def loss_fn(params):
             return self.compute_losses(params, batch, state.it, key, step_type,
-                                       occ=state.occ)
+                                       occ=state.occ, cam_id=cam_id)
 
         (total, extras), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
