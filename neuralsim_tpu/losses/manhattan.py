@@ -1,0 +1,54 @@
+"""Road-normal / Manhattan-assumption regularizers.
+
+TPU-native re-design of ``app/loss/mahattan.py`` (reference
+``RoadNormalLoss``/``MahattanLoss`` :20,94 — SURVEY.md §2.4): on road/ground
+pixels (from semantic masks) the rendered normal should match the scene up
+vector; Manhattan mode also snaps wall normals to the dominant horizontal
+axes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from .core import _w
+from .recon import reduce
+
+
+def road_normal_loss(normals: jnp.ndarray, road_mask: jnp.ndarray, it,
+                     cfg: Dict, up_vec=(0.0, 0.0, 1.0)) -> jnp.ndarray:
+    """1 - <n, up> on road pixels. normals [N,3] (world), road_mask [N]."""
+    up = jnp.asarray(up_vec, normals.dtype)
+    n = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-8)
+    err = 1.0 - jnp.einsum("...i,i->...", n, up)
+    return reduce(err, road_mask.astype(jnp.float32), "mean") * _w(cfg, it)
+
+
+def manhattan_loss(normals: jnp.ndarray, wall_mask: jnp.ndarray, it,
+                   cfg: Dict, up_vec=(0.0, 0.0, 1.0)) -> jnp.ndarray:
+    """Wall normals should be horizontal and axis-aligned: penalize the up
+    component and the deviation from the nearest horizontal axis."""
+    up = jnp.asarray(up_vec, normals.dtype)
+    n = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-8)
+    vert = jnp.einsum("...i,i->...", n, up) ** 2
+    # horizontal component snapped to nearest of 4 axis directions
+    h = n - jnp.einsum("...i,i->...", n, up)[..., None] * up
+    hn = h / jnp.clip(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+    # |cos| to the closest horizontal axis should be ~1: use max |component|
+    ax = jnp.max(jnp.abs(hn), axis=-1)
+    err = vert + (1.0 - ax)
+    return reduce(err, wall_mask.astype(jnp.float32), "mean") * _w(cfg, it)
+
+
+def cross_cr_dv_entropy_loss(rendered: Dict, it, cfg: Dict) -> jnp.ndarray:
+    """``cross_cr_on_dv`` mask-entropy family (reference mask_entropy.py —
+    SURVEY.md App. B): cross-entropy on the per-ray split between the
+    close-range and distant visibility masses, pushing each ray to commit to
+    one of the two models."""
+    mcr = rendered["rendered_cr"]["mask_volume"]
+    mdv = rendered["rendered_dv"]["mask_volume"]
+    p = mcr / jnp.clip(mcr + mdv, 1e-6)
+    p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+    ent = -(p * jnp.log(p) + (1.0 - p) * jnp.log(1.0 - p))
+    return jnp.mean(ent) * _w(cfg, it)

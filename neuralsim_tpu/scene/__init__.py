@@ -2,3 +2,4 @@
 from .nodes import SceneNode
 from .scene import Scene, FrozenScene
 from .asset_bank import AssetBank
+from .scene_bank import create_scene_bank, load_scene_bank, parse_scene_spec

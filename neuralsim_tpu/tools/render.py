@@ -78,7 +78,37 @@ def main_function(cfg) -> Dict:
     from ..utils.checkpoint import CheckpointIO
     from ..utils.logger import color_depth, _write_png
 
-    _, scene, bank, renderer, trainer, loader = build_everything(cfg)
+    if cfg.get("renderer", {}).get("type") == "multi":
+        # multi-object replay: compose renderer over the frozen scene graph
+        from .train_multi import build_everything_multi
+        scene, bank, mrenderer, trainer, loader, dataset =             build_everything_multi(cfg)
+
+        class _MultiAdapter:
+            """Adapts BufferComposeRenderer to the single-renderer surface
+            used below (freezes the scene at each requested frame)."""
+
+            def __init__(self, r):
+                self.r = r
+                self._fi = 0
+                self.models = {}
+
+            def set_frame(self, fi):
+                self._fi = fi
+
+            def render_chunked(self, params, ro, rd, rayschunk=4096, **kw):
+                frozen = scene.slice_at(self._fi)
+                kw.pop("occ_states", None)
+                return self.r.ray_query(params, frozen, ro, rd, key=None)
+
+            def ray_query(self, params, ro, rd, **kw):
+                frozen = scene.slice_at(self._fi)
+                kw2 = {k: v for k, v in kw.items()
+                       if k in ("with_rgb", "only_cr", "return_buffer")}
+                return self.r.ray_query(params, frozen, ro, rd, key=None, **kw2)
+
+        renderer = _MultiAdapter(mrenderer)
+    else:
+        _, scene, bank, renderer, trainer, loader = build_everything(cfg)
     key = jax.random.PRNGKey(cfg.get("seed", 42))
     params = bank.init_params(key)
     exp_dir = cfg.get("resume_dir") or cfg.get("exp_dir", ".")
@@ -117,6 +147,8 @@ def main_function(cfg) -> Dict:
         fis = frames or list(range(scene.n_frames))
         for fi in fis:
             fr = scene.slice_at(fi)
+            if hasattr(renderer, "set_frame"):
+                renderer.set_frame(fi)
             ro, rd = camera_get_selected_rays(fr, cam_id, pixel_grid())
             r = render_frame_rays(ro, rd)
             rgb = np.asarray(r["rgb_volume"]).reshape(Hs, Ws, 3)

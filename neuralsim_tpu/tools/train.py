@@ -32,11 +32,11 @@ def build_everything(cfg):
     from ..utils.misc import import_str
 
     # --- dataset + scene bank ---------------------------------------------
+    from ..scene.scene_bank import create_scene_bank
     ds_cfg = cfg["dataset_cfg"]
     dataset = import_str(ds_cfg["target"])(**ds_cfg.get("params", {}))
-    scene_ids = cfg.get("scenebank_cfg", {}).get("scenarios") or dataset.scene_ids()
-    sid = scene_ids[0].split(",")[0].strip()
-    scene = Scene.load_from_scenario(dataset.get_scenario(sid))
+    scene = create_scene_bank(dataset, dict(cfg.get("scenebank_cfg", {})),
+                              exp_dir=cfg.get("exp_dir"))[0]
 
     # --- asset bank ---------------------------------------------------------
     bank = AssetBank.create(cfg["assetbank_cfg"], [scene])

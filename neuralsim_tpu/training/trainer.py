@@ -19,10 +19,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..losses import (clearance_loss, eikonal_loss, lidar_loss,
-                      mask_entropy_loss, mask_occupancy_loss, mono_depth_loss,
-                      mono_normals_loss, photometric_loss, s3im_loss,
-                      sparsity_loss)
+from ..losses import (clearance_loss, cross_cr_dv_entropy_loss, eikonal_loss,
+                      lidar_loss, mask_entropy_loss, mask_occupancy_loss,
+                      mono_depth_loss, mono_normals_loss, photometric_loss,
+                      road_normal_loss, s3im_loss, sparsity_loss)
 from .optimizers import make_optimizer
 
 
@@ -130,8 +130,19 @@ class Trainer:
                 losses["loss_mask"] = mask_occupancy_loss(
                     rendered, batch, it, self.loss_cfgs["occupancy_mask"])
             if "mask_entropy" in self.loss_cfgs:
-                losses["loss_mask_entropy"] = mask_entropy_loss(
-                    rendered, it, self.loss_cfgs["mask_entropy"])
+                me_cfg = self.loss_cfgs["mask_entropy"]
+                if me_cfg.get("mode", "").startswith("cross_cr") and                         "rendered_cr" in rendered:
+                    losses["loss_mask_entropy"] = cross_cr_dv_entropy_loss(
+                        rendered, it, me_cfg)
+                else:
+                    losses["loss_mask_entropy"] = mask_entropy_loss(
+                        rendered, it, me_cfg)
+            if "road_normal" in self.loss_cfgs and                     "image_road_mask" in batch and "normals_volume" in rendered:
+                losses["loss_road_normal"] = road_normal_loss(
+                    rendered["normals_volume"], batch["image_road_mask"], it,
+                    self.loss_cfgs["road_normal"],
+                    up_vec=self.loss_cfgs["road_normal"].get("up_vec",
+                                                             (0.0, 0.0, 1.0)))
 
         if step_type == "image_patch":
             if "rgb" in self.loss_cfgs:
