@@ -52,7 +52,7 @@ def main():
         geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
         ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500,
         remat=_os.environ.get("BENCH_REMAT", "1") == "1",
-        eval_chunk=int(_os.environ.get("BENCH_CHUNK", "65536")))
+        eval_chunk=int(_os.environ.get("BENCH_CHUNK", "2000000")))
     renderer = SingleVolumeRenderer(
         {"cr": field,
          "distant": NeRFDistantField(inner_radius=1.0, geometry="mlp",

@@ -2,7 +2,8 @@
 from .asset_base import AssetAssignment, AssetModel
 from .assets import (ADDynamicGenerativePermutoConcatNeuSObj,
                      ADGenerativePermutoConcatNeuSObj,
-                     DynamicPermutoConcatNeuSObj, DummyBox, ImageEmbeddings, LearnableParams, LoTDNeRFDistant,
+                     DynamicPermutoConcatNeuSObj, DummyBox,
+                     EmerNerfStreet, EmerNerfStreetOnlyDynamic, ImageEmbeddings, LearnableParams, LoTDNeRFDistant,
                      LoTDNeRFObj, LoTDNeRFStreet, LoTDNeuSObj, LoTDNeuSStreet,
                      MLPNeuSObj, MLPNeuSStreet, NeRFDistant, PermutoNeuSObj,
                      PureColorSkyAsset,

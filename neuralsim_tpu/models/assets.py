@@ -359,6 +359,39 @@ class LearnableParams(AssetModel):
         return make_transform(R, t)
 
 
+class EmerNerfStreet(AssetModel):
+    """Self-supervised static+dynamic street decomposition (reference
+    EmerNerfStreet, app/models/single/dynamic_nerf.py:23): EmerNeRF field
+    with LoTD static branch + permuto 4D dynamic branch + scene flow."""
+
+    assignment = AssetAssignment.SCENE
+    only_dynamic = False
+
+    def populate(self, scene=None, obj_ids=None) -> None:
+        from ..fields.emernerf import EmerNeRFField
+        mp = self.model_params
+        aabb = mp.get("aabb")
+        if aabb is None and scene is not None:
+            aabb = LoTDNeuSStreet._aabb_from_cameras(scene, mp)
+        if aabb is None:
+            aabb = ([-60, -60, -10], [60, 60, 30])
+        self.field = EmerNeRFField(
+            AABBSpace(aabb[0], aabb[1]),
+            static_encoding_cfg=mp.get("static_encoding_cfg"),
+            dynamic_permuto_cfg=mp.get("dynamic_permuto_cfg"),
+            geo_feat_dim=mp.get("geo_feat_dim", 15),
+            radiance_hidden=mp.get("radiance_hidden", 64),
+            with_flow=mp.get("with_flow", True),
+            only_dynamic=self.only_dynamic)
+        self.query_cfg = dict(mp.get("query_cfg", {}))
+
+
+class EmerNerfStreetOnlyDynamic(EmerNerfStreet):
+    """Dynamic-only EmerNeRF variant (reference dynamic_nerf.py:93)."""
+
+    only_dynamic = True
+
+
 class ADGenerativePermutoConcatNeuSObj(AssetModel):
     """Categorical shared model: ONE generative permuto-NeuS for all
     instances of a class, per-instance auto-decoder latents.

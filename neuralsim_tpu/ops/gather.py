@@ -13,18 +13,34 @@ All shapes keep the point axis last ([F, N]) per the repo's tiling rule.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
+# escape hatch for A/B benchmarking: NEURALSIM_PLAIN_GATHER=1 uses XLA's
+# native scatter-add backward instead of the sorted segment-sum custom VJP
+_PLAIN = os.environ.get("NEURALSIM_PLAIN_GATHER", "0") == "1"
+
+
+def _plain_gather(tbl: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(tbl, rows, axis=1, mode="clip")
+
 
 @jax.custom_vjp
-def gather_cols(tbl: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+def _gather_cols_segment(tbl: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     """tbl: [F, T]; rows: [N] int32 in [0, T) -> [F, N]."""
     return jnp.take(tbl, rows, axis=1, mode="clip")
 
 
+def gather_cols(tbl: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    if _PLAIN:
+        return _plain_gather(tbl, rows)
+    return _gather_cols_segment(tbl, rows)
+
+
 def _fwd(tbl, rows):
-    return gather_cols(tbl, rows), (rows, tbl.shape)
+    return _gather_cols_segment(tbl, rows), (rows, tbl.shape)
 
 
 def _bwd(res, g):
@@ -57,4 +73,4 @@ def _bwd(res, g):
     return dtbl, None
 
 
-gather_cols.defvjp(_fwd, _bwd)
+_gather_cols_segment.defvjp(_fwd, _bwd)

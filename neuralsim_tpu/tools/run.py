@@ -17,6 +17,8 @@ _TASKS = {
     "extract_mesh": "neuralsim_tpu.tools.extract_mesh",
     "extract_occgrid": "neuralsim_tpu.tools.extract_occgrid",
     "manipulate": "neuralsim_tpu.tools.manipulate",
+    "visualize_slice": "neuralsim_tpu.tools.visualize_slice",
+    "demo_category": "neuralsim_tpu.tools.demo_category",
 }
 
 

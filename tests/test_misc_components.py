@@ -163,3 +163,25 @@ def test_gather_cols_custom_vjp():
     g2 = jax.grad(lambda t: jnp.sum(jnp.take(t, rows, axis=1) * w))(tbl)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_sdf_slice_image():
+    from neuralsim_tpu.tools.visualize_slice import sdf_slice_image
+    img = sdf_slice_image(lambda p: np.linalg.norm(p, axis=-1) - 0.5,
+                          (-1, -1, -1), (1, 1, 1), axis=2, coord=0.0, res=64)
+    assert img.shape == (64, 64, 3)
+    # center is inside (blue-ish), corner outside (red-ish)
+    assert img[32, 32, 2] > img[32, 32, 0]
+    assert img[0, 0, 0] > img[0, 0, 2]
+
+
+def test_visible_grid():
+    from neuralsim_tpu.models.misc_assets import VisibleGrid
+    vg = VisibleGrid((-1, -1, -1), (1, 1, 1), resolution=16)
+    ro = np.zeros((10, 3))
+    rd = np.tile([[1.0, 0, 0]], (10, 1))
+    vg.add_depth_points(ro, rd, np.full(10, 0.5))
+    assert vg.grid.sum() >= 1
+    n0 = vg.grid.sum()
+    vg.dilate(1)
+    assert vg.grid.sum() > n0
