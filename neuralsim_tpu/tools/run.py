@@ -19,6 +19,7 @@ _TASKS = {
     "manipulate": "neuralsim_tpu.tools.manipulate",
     "visualize_slice": "neuralsim_tpu.tools.visualize_slice",
     "demo_category": "neuralsim_tpu.tools.demo_category",
+    "inspect_rendering": "neuralsim_tpu.tools.inspect_rendering",
 }
 
 
