@@ -188,7 +188,10 @@ class BaseConfig:
     ``--config path.yaml --aaa.bbb=ccc --resume_dir ...``."""
 
     def __init__(self, description: str = ""):
-        self.parser = argparse.ArgumentParser(description=description)
+        # allow_abbrev=False: otherwise argparse swallows e.g. --res=48 as an
+        # abbreviation of --resume_dir (observed corrupting checkpoint paths)
+        self.parser = argparse.ArgumentParser(description=description,
+                                              allow_abbrev=False)
         self.parser.add_argument("--config", type=str, default=None)
         self.parser.add_argument("--resume_dir", type=str, default=None)
         self.parser.add_argument("--device_ids", type=str, default="0")

@@ -53,10 +53,18 @@ class CheckpointIO:
         ocp = _ocp()
         path = tag_or_path
         if path is None:
+            # newest step snapshot, else the 'final'/'latest' tag saves
             ckpts = self.sorted_ckpts()
-            if not ckpts:
-                return None
-            path = ckpts[-1]
+            if ckpts:
+                path = ckpts[-1]
+            else:
+                for tag in ("final", "latest"):
+                    p = os.path.join(self.ckpt_dir, tag)
+                    if os.path.isdir(p):
+                        path = p
+                        break
+                if path is None:
+                    return None
         elif not os.path.isabs(path):
             path = os.path.join(self.ckpt_dir, path)
         ckptr = ocp.StandardCheckpointer()
