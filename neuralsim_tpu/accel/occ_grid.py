@@ -111,40 +111,48 @@ class OccGridEma:
     def ray_proposal(self, state: OccGridState, rays_o: jnp.ndarray,
                      rays_d: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
                      n_samples: int, key: Optional[jax.Array] = None,
-                     oversample: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Fixed-budget occupancy-masked depth proposal.
+                     march_steps: int = 96) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Grid-marched occupancy-concentrated depth proposal.
 
-        Samples ``n_samples * oversample`` uniform candidates in [near, far],
-        keeps those inside occupied voxels, compacts them forward per ray
-        (sort by masked depth) and returns the first ``n_samples``
-        (t [N, n_samples], valid [N, n_samples]). Rays whose every candidate
-        is unoccupied fall back to plain uniform samples so early training
-        (empty grid warmup) still renders.
+        The TPU formulation of the reference's DDA grid-skipping marcher
+        (``occ_grid`` accel with step_size/max_steps,
+        withmask_withlidar_joint.240219.yaml:196-229), as a fixed-shape
+        two-phase march:
+
+          1. probe ``march_steps`` equidistant segments of [near, far]
+             (step_size = (far-near)/march_steps — the marcher's step size,
+             so march_steps doubles as max_steps);
+          2. inverse-transform-sample ALL ``n_samples`` depths from the CDF of
+             the per-segment occupancy — every sample lands inside an
+             occupied segment (stratified within it), i.e. the effective
+             sample spacing is occupied_length / n_samples, exactly what a
+             DDA marcher with per-voxel subdivision achieves, minus the
+             variable shapes.
+
+        Returns (t [N, n_samples] ascending, valid [N, n_samples]). Rays with
+        zero occupied probes fall back to uniform sampling (empty-grid warmup
+        still renders); their ``valid`` stays True so early training sees
+        space, matching the warmup-everything-occupied convention.
         """
+        from ..ops.segment import sample_pdf
         N = rays_o.shape[0]
-        C = n_samples * oversample
-        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, C), (N, C))
-        if key is not None:
-            u = u + (jax.random.uniform(key, (N, C)) - 0.5) / C
-            u = jnp.clip(u, 0.0, 1.0)
-        t = near[:, None] + (far - near)[:, None] * u
-        x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
-        occ = self.occupancy_at(state, x)
+        M = march_steps
+        # probe segment midpoints
+        edges01 = jnp.linspace(0.0, 1.0, M + 1)
+        t_edges = near[:, None] + (far - near)[:, None] * edges01      # [N, M+1]
+        t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
+        x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+        occ = self.occupancy_at(state, x)                              # [N, M]
         hit_any = jnp.any(occ, axis=-1, keepdims=True)
 
-        # compact occupied candidates forward; unoccupied lanes pushed to +inf
-        t_key = jnp.where(occ, t, 1e10)
-        order = jnp.argsort(t_key, axis=-1)[..., :n_samples]
-        t_sel = jnp.take_along_axis(t, order, axis=-1)
-        v_sel = jnp.take_along_axis(occ, order, axis=-1)
-
-        # fallback: uniform n_samples for rays with zero occupied candidates
-        t_fallback = near[:, None] + (far - near)[:, None] * \
-            jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples), (N, n_samples))
-        t_out = jnp.where(hit_any, t_sel, t_fallback)
-        v_out = jnp.where(hit_any, v_sel, jnp.ones_like(v_sel))
-        # re-sort so depths stay increasing (fallback path is already sorted)
-        return t_out, v_out
+        # occupancy CDF -> all samples in occupied segments (tiny uniform
+        # floor = the miss fallback within the same primitive)
+        w = occ.astype(jnp.float32) + (~hit_any) * 1.0
+        t = sample_pdf(t_edges, w, n_samples, key=key, det=key is None,
+                       eps=1e-6)
+        t = jnp.sort(t, axis=-1)  # random-u draws come back unsorted
+        valid = jnp.ones_like(t, dtype=bool)
+        return t, valid
 
 
 class OccGridEmaBatched(OccGridEma):

@@ -76,11 +76,14 @@ class PixelSampler:
 
     def __init__(self, loader: SceneDataLoader, *, n_rays: int = 4096,
                  equal_mode: str = "ray_batch", seed: int = 0,
-                 imp_sampler=None, use_native: bool = True):
+                 imp_sampler=None, frame_sampler=None, use_native: bool = True):
         self.loader = loader
         self.n_rays = n_rays
         self.rng = np.random.default_rng(seed)
         self.imp_sampler = imp_sampler
+        # weighted frame drawing (frame_sampler.WeightedFrameSampler — the
+        # reference's by-speed / fixed-weight frame samplers, sampler.py:25-215)
+        self.frame_sampler = frame_sampler
         # native C++/OpenMP batch assembly over a stacked per-camera cache
         # (native/libnsbatch.so; falls back silently when unavailable)
         self._native: Dict[str, Any] = {}
@@ -106,14 +109,18 @@ class PixelSampler:
         cam_idx = self.rng.integers(0, len(L.cam_ids))
         cam_id = L.cam_ids[cam_idx]
         W, H = L.image_wh(cam_id)
-        if cam_id in self._native and self.imp_sampler is None:
+        if cam_id in self._native and self.imp_sampler is None \
+                and self.frame_sampler is None:
             out = self._native[cam_id].sample(n)
             out["cam_id"] = cam_id
             return out
         if self.imp_sampler is not None:
             fidx, xs, ys = self.imp_sampler.sample(self.rng, cam_id, n, H, W)
         else:
-            fidx = self.rng.integers(0, L.n_frames, n)
+            if self.frame_sampler is not None:
+                fidx = self.frame_sampler.sample(n)
+            else:
+                fidx = self.rng.integers(0, L.n_frames, n)
             xs = self.rng.integers(0, W, n)
             ys = self.rng.integers(0, H, n)
         rgb = np.empty((n, 3), np.float32)

@@ -23,8 +23,19 @@ def load_native():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "native", "libnsbatch.so")
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+    path = os.path.join(native_dir, "libnsbatch.so")
+    if not os.path.isfile(path):
+        # build on demand: the .so is NOT committed (a prebuilt -march=native
+        # binary can SIGILL on a different machine); numpy fallback if the
+        # toolchain is absent
+        import subprocess
+        try:
+            subprocess.run(["sh", os.path.join(native_dir, "build.sh")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
     if not os.path.isfile(path):
         return None
     try:

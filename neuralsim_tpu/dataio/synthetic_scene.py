@@ -42,6 +42,12 @@ class SyntheticSceneDataset(SceneDataset):
     def get_occupancy_mask(self, scene_id: str, cam_id: str, frame_index: int):
         return self.ds.render_frame(frame_index)["image_occupancy_mask"]
 
+    def get_mono_depth(self, scene_id: str, cam_id: str, frame_index: int):
+        """Analytic depth as the mono-depth cue (mono losses are scale/shift
+        invariant, so GT depth is a valid stand-in for network-inferred cues
+        — exercises the full image_patch/mono chain without pretrained nets)."""
+        return self.ds.render_frame(frame_index)["image_depth"]
+
     def get_lidar(self, scene_id: str, lidar_id: str, frame_index: int):
         """Synthetic LiDAR: reuse camera rays (sensor frame = camera frame)
         with analytic ranges; rays where the tracer misses get range 0."""

@@ -175,14 +175,18 @@ class LoTDEncoding:
     # (observed: 131 GiB requested on a 16 GiB chip).
 
     def _corner_rows_weight(self, cell: jnp.ndarray, frac: jnp.ndarray,
-                            corner: int, spec: LevelSpec
-                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """cell/frac: [d, N] -> (rows [N], weight [N]) for one corner."""
+                            corner: int, spec: LevelSpec,
+                            with_axis_weights: bool = False):
+        """cell/frac: [d, N] -> (rows [N], weight [N]) for one corner.
+        with_axis_weights additionally returns the per-axis factors
+        (w_i, sign_i) needed for the analytic interpolation jacobian."""
         d = self.input_dim
         bits = [(corner >> i) & 1 for i in range(d)]
         w = None
+        axis_w = []
         for i, b in enumerate(bits):
             wi = frac[i] if b else (1.0 - frac[i])
+            axis_w.append(wi)
             w = wi if w is None else w * wi
         if spec.is_dense:
             rows = None
@@ -196,14 +200,22 @@ class LoTDEncoding:
                 h = h ^ ((cell[i] + bits[i]).astype(jnp.uint32)
                          * jnp.uint32(_PRIMES[i]))
             rows = (h % jnp.uint32(spec.size)).astype(jnp.int32)
+        if with_axis_weights:
+            signs = [1.0 if b else -1.0 for b in bits]   # dw_i/dfrac_i
+            return rows, w, axis_w, signs
         return rows, w
 
     def _cp_level_features(self, table: jnp.ndarray, pos01: jnp.ndarray,
                            spec: LevelSpec,
-                           bidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                           bidx: Optional[jnp.ndarray] = None,
+                           with_jac: bool = False):
         """CP level: channelwise product of per-axis linear interps, each
         computed as relu-tent-kernel [res, N] matmul against the line
-        [F, res] — dense MXU work, no gathers. -> [F, N]."""
+        [F, res] — dense MXU work, no gathers. -> [F, N].
+
+        with_jac: additionally return d(feats)/d(pos01) [d, F, N] computed
+        with one extra tent'-kernel matmul per axis (the analytic-jacobian
+        path replacing finite-difference taps — nr3d_lib's dL_dx analog)."""
         d = self.input_dim
         R, F = spec.res, spec.n_feats
         level_tbl = jax.lax.dynamic_slice_in_dim(
@@ -218,14 +230,17 @@ class LoTDEncoding:
             lines = level_tbl.reshape(d, R, F)
         pos = pos01 * (R - 1)                                   # [d, N]
         iota = jnp.arange(R, dtype=pos.dtype)                   # [R]
-        feats = None
+        f_axes = []
+        g_axes = []
         for ax in range(d):
             # bf16 tent kernel: halves the [R, N] bandwidth; the two nonzero
             # weights per column lose <1e-3 precision, accumulation is f32
-            w = jax.nn.relu(1.0 - jnp.abs(pos[ax][None, :] - iota[:, None]))
+            delta = pos[ax][None, :] - iota[:, None]            # [R, N]
+            w = jax.nn.relu(1.0 - jnp.abs(delta))
             w = w.astype(jnp.bfloat16)
             if bidx is None:
-                f_ax = jnp.dot(lines[ax].T.astype(jnp.bfloat16), w,
+                line_t = lines[ax].T.astype(jnp.bfloat16)        # [F, R]
+                f_ax = jnp.dot(line_t, w,
                                preferred_element_type=jnp.float32)  # [F, N]
             else:
                 per_inst = jnp.einsum("brf,rn->bfn",
@@ -233,13 +248,46 @@ class LoTDEncoding:
                                       preferred_element_type=jnp.float32)
                 f_ax = jnp.take_along_axis(
                     per_inst, bidx[None, None, :].repeat(F, 1), axis=0)[0]
-            feats = f_ax if feats is None else feats * f_ax
-        return feats
+            f_axes.append(f_ax)
+            if with_jac:
+                # d tent/d pos = -sign(delta) on the support
+                wp = (jnp.where(jnp.abs(delta) < 1.0, -jnp.sign(delta), 0.0)
+                      .astype(jnp.bfloat16))
+                if bidx is None:
+                    g_ax = jnp.dot(line_t, wp,
+                                   preferred_element_type=jnp.float32)
+                else:
+                    gi = jnp.einsum("brf,rn->bfn",
+                                    lines[:, ax].astype(jnp.bfloat16), wp,
+                                    preferred_element_type=jnp.float32)
+                    g_ax = jnp.take_along_axis(
+                        gi, bidx[None, None, :].repeat(F, 1), axis=0)[0]
+                g_axes.append(g_ax * (R - 1))   # chain: pos = pos01 * (R-1)
+        feats = f_axes[0]
+        for f_ax in f_axes[1:]:
+            feats = feats * f_ax
+        if not with_jac:
+            return feats
+        jac = []
+        for ax in range(d):
+            j_ax = g_axes[ax]
+            for other in range(d):
+                if other != ax:
+                    j_ax = j_ax * f_axes[other]
+            jac.append(j_ax)
+        return feats, jnp.stack(jac, 0)                          # [d, F, N]
 
     def _level_features(self, table: jnp.ndarray, cell: jnp.ndarray,
                         frac: jnp.ndarray, spec: LevelSpec,
-                        bidx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """-> [F, N] accumulated trilinear features for one level."""
+                        bidx: Optional[jnp.ndarray] = None,
+                        with_jac: bool = False):
+        """-> [F, N] accumulated trilinear features for one level.
+
+        with_jac: also return d(feats)/d(pos01) [d, F, N] — the SAME 8
+        gathered corner features, reweighted with the trilinear-weight
+        derivatives (shares all gathers with the forward; this is what makes
+        analytic nablas ~free vs 4 extra FD encoding passes)."""
+        d = self.input_dim
         level_tbl = jax.lax.dynamic_slice_in_dim(
             table, spec.offset, spec.size * spec.n_feats, axis=table.ndim - 1)
         if bidx is None:
@@ -251,13 +299,30 @@ class LoTDEncoding:
             tbl = level_tbl.reshape(B, spec.n_feats, spec.size) \
                 .transpose(1, 0, 2).reshape(spec.n_feats, B * spec.size)
         acc = None
-        for corner in range(1 << self.input_dim):
-            rows, w = self._corner_rows_weight(cell, frac, corner, spec)
+        jac = [None] * d if with_jac else None
+        for corner in range(1 << d):
+            if with_jac:
+                rows, w, axis_w, signs = self._corner_rows_weight(
+                    cell, frac, corner, spec, with_axis_weights=True)
+            else:
+                rows, w = self._corner_rows_weight(cell, frac, corner, spec)
             if bidx is not None:
                 rows = bidx * spec.size + rows
             feats = gather_cols(tbl, rows)                        # [F, N]
             term = w[None, :] * feats
             acc = term if acc is None else acc + term
+            if with_jac:
+                for i in range(d):
+                    dw = signs[i]
+                    for j in range(d):
+                        if j != i:
+                            dw = dw * axis_w[j]
+                    contrib = dw[None, :] * feats if hasattr(dw, "shape") \
+                        else dw * feats
+                    jac[i] = contrib if jac[i] is None else jac[i] + contrib
+        if with_jac:
+            # chain rule: frac = pos01 * res - cell  ->  d frac/d pos01 = res
+            return acc, jnp.stack(jac, 0) * spec.res              # [d, F, N]
         return acc
 
     def __call__(self, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
@@ -291,6 +356,49 @@ class LoTDEncoding:
             outs.append(f)
         out = jnp.concatenate(outs, axis=0)                        # [F_total, N]
         return out.T.reshape(lead + (self.out_dim,))
+
+    def with_jacobian(self, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                      bidx: Optional[jnp.ndarray] = None,
+                      max_level: Optional[jnp.ndarray] = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Encode AND return the analytic d(features)/dx jacobian.
+
+        Replaces finite-difference tap passes for grid-SDF normals (the
+        nr3d_lib CUDA kernels' dy_dx/dL_dx path — /root/reference/README.md
+        LoTD backward surface): CP levels pay one extra tent'-matmul per
+        axis; hash/dense levels reuse their 8 corner gathers. All ops are
+        differentiable again, so eikonal-through-render still trains.
+
+        Returns (features [..., out_dim], jac [..., out_dim, d]) with jac in
+        units of the [0,1]-normalized input domain.
+        """
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, self.input_dim)
+        bf = None if bidx is None else jnp.broadcast_to(bidx, lead).reshape(-1)
+        pos_all = jnp.clip(xf, 0.0, 1.0).T                        # [d, N]
+        outs, jacs = [], []
+        for li, spec in enumerate(self.specs):
+            if spec.typ == "cp":
+                f, j = self._cp_level_features(params["table"], pos_all, spec,
+                                               bf, with_jac=True)
+            else:
+                pos = pos_all * spec.res
+                cell = jnp.minimum(jnp.floor(pos), spec.res - 1)
+                frac = pos - cell
+                f, j = self._level_features(params["table"],
+                                            cell.astype(jnp.int32), frac,
+                                            spec, bf, with_jac=True)
+            if max_level is not None:
+                live = (li <= max_level)
+                f = f * live
+                j = j * live
+            outs.append(f)
+            jacs.append(j)
+        out = jnp.concatenate(outs, axis=0)                       # [F_total, N]
+        jac = jnp.concatenate(jacs, axis=1)                       # [d, F_total, N]
+        return (out.T.reshape(lead + (self.out_dim,)),
+                jac.transpose(2, 1, 0).reshape(lead + (self.out_dim,
+                                                       self.input_dim)))
 
     def max_level_at(self, it) -> Optional[jnp.ndarray]:
         """Evaluate the level-anneal window at iteration ``it`` (reference

@@ -144,13 +144,15 @@ class NeuSField:
         self.inv_s_anneal_stop_it = inv_s_anneal_stop_it
         self.cos_anneal_stop_it = cos_anneal_stop_it
         self.sdf_scale = sdf_scale
-        # 'numerical' (tetrahedron finite differences) avoids second-order
-        # autodiff through the hash grid — the double-jvp temps OOM a 16 GiB
-        # chip at StreetSurf scale, and FD normals are standard practice for
-        # grid SDFs (discontinuous analytic grads). 'auto': numerical for
-        # grids, autodiff for smooth MLP geometry.
+        # 'analytic' — closed-form interpolation jacobian through the grid
+        # encoding chained with one decoder vjp: replaces the 4 extra FD
+        # encoding passes (5x -> ~1.5x encoding cost; measured: the encoding
+        # is the whole field cost at train scale, PERF.md r2). The jacobian is
+        # built from plain matmuls/gathers, so eikonal-through-render
+        # second-order autodiff works. 'numerical' (tetrahedron finite
+        # differences) kept as the A/B oracle; 'autodiff' for smooth MLPs.
         if nablas_mode == "auto":
-            nablas_mode = "numerical" if geometry == "lotd" else "autodiff"
+            nablas_mode = "analytic" if geometry == "lotd" else "autodiff"
         self.nablas_mode = nablas_mode
         self.remat = remat
         self.eval_chunk = eval_chunk
@@ -274,6 +276,32 @@ class NeuSField:
             nablas, = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feat)))
             return sdf, nablas, feat
 
+        if self.nablas_mode == "analytic" and self.geometry == "lotd":
+            def impl(params, x, bidx):
+                u = self.space.normalize_coords(x)
+                h, Jh = self.encoding.with_jacobian(
+                    params["encoding"], u, bidx=bidx, max_level=max_level)
+                out, dec_vjp = jax.vjp(
+                    lambda hh: self.decoder(params["decoder"], hh), h)
+                sdf = out[..., 0] * self.sdf_scale
+                feat = out[..., 1:]
+                cot = jnp.zeros_like(out).at[..., 0].set(1.0)
+                g_h, = dec_vjp(cot)                               # [..., F]
+                du_dx = 1.0 / (self.space.aabb_max - self.space.aabb_min)
+                nablas = jnp.einsum("...f,...fd->...d", g_h, Jh) \
+                    * du_dx * self.sdf_scale
+                if self._geo_init_bias:
+                    delta = x - self.space.center
+                    dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+                    sdf = sdf + (dist[..., 0]
+                                 - self._geo_init_bias
+                                 * jnp.mean(self.space.half_extent))
+                    nablas = nablas + delta / jnp.clip(dist, 1e-8)
+                return sdf, nablas, feat
+            if self.remat:
+                impl = jax.checkpoint(impl)
+            return impl(params, x, bidx)
+
         eps = self._fd_eps()
         # tetrahedron taps (PermutoSDF / instant-nsr practice), fused with
         # the center evaluation into ONE encoding pass
@@ -306,7 +334,8 @@ class NeuSField:
         if self.appear_embed_dim:
             if h_appear is None:
                 h_appear = jnp.zeros(x.shape[:-1] + (self.appear_embed_dim,), x.dtype)
-            inputs.append(h_appear)
+            inputs.append(jnp.broadcast_to(
+                h_appear, x.shape[:-1] + (h_appear.shape[-1],)))
         return self.radiance_net(params["radiance"], jnp.concatenate(inputs, axis=-1))
 
     # -- inv_s control ---------------------------------------------------------
@@ -456,10 +485,13 @@ class NeuSField:
             buf["rgb"] = self.query_radiance(params, x, dirs, nablas, feat,
                                              h_appear=(None if h_appear is None
                                                        else h_appear[:, None, :]))
-        # near-range SDF for ClearanceLoss (reference details.near_sdf)
+        # near-range SDF for ClearanceLoss (reference details.near_sdf).
+        # argmax(all-False mask) = 0 would leak arbitrary SDF values from
+        # non-hit rays into the clearance loss — park misses at +large.
         first_valid = jnp.argmax(mask, axis=-1)
+        near_sdf = jnp.take_along_axis(sdf, first_valid[:, None], axis=-1)[:, 0]
         buf["details"] = {
-            "near_sdf": jnp.take_along_axis(sdf, first_valid[:, None], axis=-1)[:, 0],
+            "near_sdf": jnp.where(hit, near_sdf, 1e10),
             "inv_s": inv_s,
             "hit": hit, "near": n_, "far": f_,
         }

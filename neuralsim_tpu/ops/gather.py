@@ -1,15 +1,17 @@
-"""Table gather with a TPU-efficient custom backward (sorted segment-sum).
+"""Table gather for the grid encodings.
 
-The hash-grid encodings gather feature rows from parameter tables; autodiff
-turns that into a scatter-add with massively duplicated indices, which XLA
-lowers poorly on TPU (serialized updates — observed as the training-step
-bottleneck). This module provides ``gather_cols`` whose backward is the
-classic TPU-native segment-sum recipe instead:
+Default backward: XLA's native scatter-add. Measured on the v5e (r2,
+PERF.md): with the fused-reduction consumers of the encoding, XLA keeps the
+level tables on-chip and the duplicated-index scatter-add backward costs
+~80 ms for the full field fwd+bwd at 262k points — vs ~196 ms for the
+sorted-segment-sum custom VJP below (its 16 argsorts of ~1.3M rows dominate;
+sorting is pathological on TPU). The r1 assumption that scatter-add
+serializes was wrong at these table sizes.
 
-    sort updates by row id  ->  prefix-sum  ->  per-segment difference
-    written with UNIQUE-index scatters (parallel stores).
-
-All shapes keep the point axis last ([F, N]) per the repo's tiling rule.
+The segment-sum VJP (sort by row id -> prefix-sum -> per-segment difference
+with unique-index scatters) is kept as an A/B oracle behind
+``NEURALSIM_SEGSUM_GATHER=1``; all shapes keep the point axis last ([F, N])
+per the repo's tiling rule.
 """
 from __future__ import annotations
 
@@ -18,9 +20,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-# escape hatch for A/B benchmarking: NEURALSIM_PLAIN_GATHER=1 uses XLA's
-# native scatter-add backward instead of the sorted segment-sum custom VJP
-_PLAIN = os.environ.get("NEURALSIM_PLAIN_GATHER", "0") == "1"
+# A/B escape hatch: NEURALSIM_SEGSUM_GATHER=1 re-enables the sorted
+# segment-sum custom VJP (2.4x slower on v5e, kept for parity testing)
+_PLAIN = os.environ.get("NEURALSIM_SEGSUM_GATHER", "0") != "1"
 
 
 def _plain_gather(tbl: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:

@@ -86,10 +86,11 @@ class BufferComposeRenderer:
                 buf = ob.field.ray_query(
                     params[ob.model_id], o_l, d_l, key=kb, it=it,
                     with_rgb=with_rgb, **qkw)
-                # object-frame t -> world t (scale factor dn), invalid frames
-                # masked out entirely
+                # object-frame t -> world t: the world point o_w + t_w*d_w maps
+                # to local o_l + (t_w*dn)*d_unit, so t_w = t_local / dn
+                # (dn = |R_w2n d / scale| ~ 1/scale for unit world dirs)
                 buf = dict(buf)
-                buf["t"] = buf["t"] * dn[:, None]
+                buf["t"] = buf["t"] / jnp.clip(dn[:, None], 1e-9)
                 v = jnp.asarray(valid)
                 vm = v if v.ndim == 0 else v[:, None]
                 buf["mask"] = buf["mask"] & jnp.broadcast_to(vm, buf["mask"].shape)

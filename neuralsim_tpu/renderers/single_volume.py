@@ -86,6 +86,8 @@ class SingleVolumeRenderer:
             cfg.setdefault("occ_t_fn",
                            lambda ro, rd, n_, f_, nc, k:
                            accel.ray_proposal(st, ro, rd, n_, f_, nc, key=k))
+        if h_appear is not None:
+            cfg["h_appear"] = h_appear
         buf_cr = cr.ray_query(params[self.pkey("cr")], rays_o, rays_d, key=kcr, it=it,
                               near=near, far=far, with_rgb=with_rgb, **cfg)
         buffers = [buf_cr]

@@ -71,12 +71,28 @@ def build_everything(cfg):
         param_keys=param_keys, accels=accels)
 
     # --- trainer -------------------------------------------------------------
+    # pose refinement + per-frame appearance embeddings: bind the
+    # LearnableParams / ImageEmbeddings assets so the jitted step consumes
+    # them (reference train.py: scene.load_assets wiring; VERDICT r1 item 3)
+    from ..models.assets import ImageEmbeddings, LearnableParams
+    pose_model_id, pose_enable_after, embed_model = None, 0, None
+    for mid, asset in bank.assets.items():
+        if isinstance(asset, LearnableParams):
+            pose_model_id = mid
+            pose_enable_after = asset.enable_after
+        elif isinstance(asset, ImageEmbeddings):
+            embed_model = (asset, mid)
+
     tcfg = cfg.get("training", {})
     trainer = Trainer(renderer,
                       loss_cfgs=dict(tcfg.get("losses", {})),
                       training_cfgs=bank.training_cfgs(),
                       uniform_sample_n=tcfg.get("uniform_sample_n", 1024),
-                      default_optim_cfg=dict(tcfg.get("optim", {"lr": 1e-2})))
+                      default_optim_cfg=dict(tcfg.get("optim", {"lr": 1e-2})),
+                      scene=scene, pose_model_id=pose_model_id,
+                      pose_enable_after=pose_enable_after,
+                      embed_model=embed_model,
+                      debug_grads=bool(tcfg.get("debug_grads", False)))
 
     # --- data ----------------------------------------------------------------
     loader = SceneDataLoader(scene, dataset,
@@ -191,52 +207,121 @@ def main_function(cfg) -> Dict[str, Any]:
             ErrorMap(scene.n_frames, tuple(em_cfg.get("hw", (32, 64)))),
             frac_uniform=em_cfg.get("frac_uniform", 0.5),
             enable_after=em_cfg.get("enable_after", 0))
+    # frame-weighted sampling (reference sampler.py:25-215 'by_speed' etc.)
+    frame_sampler = None
+    fs_cfg = tcfg.get("frame_sample_mode")
+    if fs_cfg:
+        from ..dataio.frame_sampler import (WeightedFrameSampler,
+                                            frame_weights_by_speed,
+                                            frame_weights_uniform)
+        mode = fs_cfg if isinstance(fs_cfg, str) else fs_cfg.get("mode", "uniform")
+        if mode == "by_speed":
+            ego = scene.observers[loader.cam_ids[0]]
+            w = frame_weights_by_speed(np.asarray(ego.frame_data["transform"]))
+        else:
+            w = frame_weights_uniform(scene.n_frames)
+        frame_sampler = WeightedFrameSampler(w, seed=cfg.get("seed", 42))
+
     pixel_sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 4096),
                                  seed=cfg.get("seed", 42),
-                                 imp_sampler=imp_sampler)
+                                 imp_sampler=imp_sampler,
+                                 frame_sampler=frame_sampler)
     lidar_sampler = LidarSampler(loader, n_rays=tcfg.get("n_rays_lidar", 4096)) \
         if tcfg.get("with_lidar") else None
+
+    # image-patch step for patch-structured losses (mono cues / s3im /
+    # perceptual — reference train.py:1592-1642)
+    patch_sampler = None
+    p_cfg = tcfg.get("image_patch", {})
+    i_patch = int(p_cfg.get("every", 0))
+    if i_patch:
+        from ..dataio.patch_sampler import ImagePatchSampler
+        patch_sampler = ImagePatchSampler(
+            loader, mode=p_cfg.get("mode", "flex_grid"),
+            seed=cfg.get("seed", 42), dataset=loader.dataset,
+            **{k: v for k, v in p_cfg.items()
+               if k not in ("every", "mode")})
 
     num_iters = int(tcfg.get("num_iters", 1000))
     i_val = int(tcfg.get("i_val", max(num_iters // 4, 1)))
     i_log = int(tcfg.get("i_log", 50))
     val_cam = loader.cam_ids[0]
 
+    _jit_keys = ("rays_xy", "rays_fidx", "image_rgb", "image_occupancy_mask",
+                 "image_ignore_mask", "image_road_mask", "image_mono_depth",
+                 "image_mono_normals", "w2c_rot")
+
+    def to_device_batch(raw):
+        return {k: jnp.asarray(v) for k, v in raw.items() if k in _jit_keys}
+
+    def check_finite(mm, it, tag):
+        """NaN forensics (reference debug_ret, train.py:338-439): localize the
+        non-finite loss/grad group, snapshot state, abort."""
+        bad = {k: v for k, v in mm.items() if not np.isfinite(v)}
+        if bad:
+            print(f"!! non-finite metrics at it={it} ({tag}): {sorted(bad)}",
+                  flush=True)
+            path = ckpt.save(state, it, tag="nan_debug")
+            raise FloatingPointError(
+                f"non-finite {sorted(bad)} at it={it} ({tag}); state saved to "
+                f"{path}. Re-run with training.debug_grads=true for per-model "
+                f"grad norms.")
+
     t0 = time.time()
     rays_done = 0
     m = {}
-    for it in range(int(state.it), num_iters):
-        key, sk = jax.random.split(key)
-        raw = pixel_sampler.sample()
-        batch = lift_pixel_batch(scene, raw)
-        state, m = trainer.train_step(state, batch, sk, "pixel")
-        rays_done += tcfg.get("n_rays", 4096)
-        if imp_sampler is not None and "err_map" in m:
-            W, H = loader.image_wh(raw["cam_id"])
-            imp_sampler.update(raw["rays_fidx"], raw["rays_sel"][:, 1],
-                               raw["rays_sel"][:, 0],
-                               np.asarray(m["err_map"]), H, W)
-        if lidar_sampler is not None:
-            lb = lidar_sampler.sample()
-            if lb is not None:
+    sticky_m = {}  # latest lidar/patch step metrics (run on their own cadence)
+    it = int(state.it)
+    try:
+        for it in range(int(state.it), num_iters):
+            key, sk = jax.random.split(key)
+            raw = pixel_sampler.sample()
+            # rays lifted INSIDE the jitted step (pose-delta gradients flow);
+            # cam_id is a static argument selecting the camera
+            state, m = trainer.train_step(state, to_device_batch(raw), sk,
+                                          "pixel", raw["cam_id"])
+            rays_done += tcfg.get("n_rays", 4096)
+            if imp_sampler is not None and "err_map" in m:
+                W, H = loader.image_wh(raw["cam_id"])
+                imp_sampler.update(raw["rays_fidx"], raw["rays_sel"][:, 1],
+                                   raw["rays_sel"][:, 0],
+                                   np.asarray(m["err_map"]), H, W,
+                                   cam_id=raw["cam_id"])
+            if lidar_sampler is not None:
+                lb = lidar_sampler.sample()
+                if lb is not None:
+                    key, sk = jax.random.split(key)
+                    state, ml = trainer.train_step(
+                        state, lift_lidar_batch(scene, lb), sk, "lidar")
+                    sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
+                    rays_done += tcfg.get("n_rays_lidar", 4096)
+            if patch_sampler is not None and (it + 1) % i_patch == 0:
+                praw = patch_sampler.sample(it)
                 key, sk = jax.random.split(key)
-                state, ml = trainer.train_step(state, lift_lidar_batch(scene, lb),
-                                               sk, "lidar")
-                m.update({f"lidar/{k}": v for k, v in ml.items()})
-                rays_done += tcfg.get("n_rays_lidar", 4096)
-        if it % i_log == 0:
-            mm = {k: float(np.asarray(v)) for k, v in m.items()
-                  if np.asarray(v).ndim == 0}
-            logger.add_scalars(mm, it)
-            rate = rays_done / max(time.time() - t0, 1e-9)
-            print(f"it={it} loss={mm.get('loss_total', float('nan')):.4f} "
-                  f"rays/s={rate:.0f}", flush=True)
-        if (it + 1) % i_val == 0:
-            p = validate(scene, renderer, state.params, loader, val_cam,
-                         fi=0, logger=logger, it=it, occ=state.occ,
-                         downscale=tcfg.get("val_downscale", 2))
-            print(f"[val] it={it} psnr={p:.2f}", flush=True)
-        ckpt.maybe_save(state, it)
+                state, mp = trainer.train_step(state, to_device_batch(praw),
+                                               sk, "image_patch",
+                                               praw["cam_id"])
+                sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
+            if it % i_log == 0:
+                mm = {k: float(np.asarray(v)) for k, v in {**sticky_m, **m}.items()
+                      if np.asarray(v).ndim == 0}
+                logger.add_scalars(mm, it)
+                check_finite(mm, it, "train")
+                rate = rays_done / max(time.time() - t0, 1e-9)
+                print(f"it={it} loss={mm.get('loss_total', float('nan')):.4f} "
+                      f"rays/s={rate:.0f}", flush=True)
+            if (it + 1) % i_val == 0:
+                p = validate(scene, renderer, state.params, loader, val_cam,
+                             fi=0, logger=logger, it=it, occ=state.occ,
+                             downscale=tcfg.get("val_downscale", 2))
+                print(f"[val] it={it} psnr={p:.2f}", flush=True)
+            ckpt.maybe_save(state, it)
+    except KeyboardInterrupt:
+        # graceful interrupt: keep the latest state (reference
+        # train.py:1674-1678)
+        path = ckpt.save(state, it, tag="latest")
+        print(f"interrupted at it={it}; state saved to {path}", flush=True)
+        raise
 
     ckpt.save(state, num_iters, tag="final")
     p = validate(scene, renderer, state.params, loader, val_cam, fi=0,

@@ -69,34 +69,64 @@ class ErrorMap:
 
 class ImpSampler:
     """Mix of uniform and error-map-driven (frame, pixel) sampling
-    (reference ImpSampler({name: (map, frac)}, frac_uniform))."""
+    (reference ImpSampler({name: (map, frac)}, frac_uniform)).
+
+    Keeps ONE error map PER CAMERA (lazily cloned from the template map), so
+    multi-camera rigs don't conflate per-camera photometric errors — matching
+    the reference's per-camera ``ErrorMap`` dict."""
 
     def __init__(self, error_map: ErrorMap, *, frac_uniform: float = 0.5,
                  enable_after: int = 0):
-        self.error_map = error_map
+        self.error_map = error_map            # template (also the default map)
+        self.maps: Dict[str, ErrorMap] = {}
         self.frac_uniform = frac_uniform
         self.enable_after = enable_after
         self.it = 0
 
+    def _map_for(self, cam_id: str) -> ErrorMap:
+        m = self.maps.get(cam_id)
+        if m is None:
+            t = self.error_map
+            m = ErrorMap(t.n_frames, (t.h, t.w), ema=t.ema)
+            m.map[:] = t.map
+            self.maps[cam_id] = m
+        return m
+
     def sample(self, rng: np.random.Generator, cam_id: str, n: int,
                H: int, W: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (fidx [n], xs [n], ys [n]) integer pixel coords."""
+        emap = self._map_for(cam_id)
         if self.it < self.enable_after:
-            fidx = rng.integers(0, self.error_map.n_frames, n)
+            fidx = rng.integers(0, emap.n_frames, n)
             return fidx.astype(np.int32), rng.integers(0, W, n), rng.integers(0, H, n)
         n_uni = int(n * self.frac_uniform)
         n_imp = n - n_uni
-        f_u = rng.integers(0, self.error_map.n_frames, n_uni).astype(np.int32)
+        f_u = rng.integers(0, emap.n_frames, n_uni).astype(np.int32)
         x_u = rng.integers(0, W, n_uni)
         y_u = rng.integers(0, H, n_uni)
-        f_i, xy01 = self.error_map.sample_joint(rng, n_imp)
+        f_i, xy01 = emap.sample_joint(rng, n_imp)
         x_i = np.clip((xy01[:, 0] * W).astype(int), 0, W - 1)
         y_i = np.clip((xy01[:, 1] * H).astype(int), 0, H - 1)
         return (np.concatenate([f_u, f_i]), np.concatenate([x_u, x_i]),
                 np.concatenate([y_u, y_i]))
 
     def update(self, fidx: np.ndarray, xs: np.ndarray, ys: np.ndarray,
-               err: np.ndarray, H: int, W: int) -> None:
+               err: np.ndarray, H: int, W: int,
+               cam_id: Optional[str] = None) -> None:
         xy01 = np.stack([xs / W, ys / H], -1)
-        self.error_map.step_error_map(fidx, xy01, err)
+        emap = self.error_map if cam_id is None else self._map_for(cam_id)
+        emap.step_error_map(fidx, xy01, err)
         self.it += 1
+
+    # checkpoint plumbing: the trainer snapshots/restores the raw grids
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        d = {"__template__": self.error_map.map}
+        d.update({k: m.map for k, m in self.maps.items()})
+        return d
+
+    def load_state_dict(self, d: Dict[str, np.ndarray]) -> None:
+        for k, v in d.items():
+            if k == "__template__":
+                self.error_map.map[:] = v
+            else:
+                self._map_for(k).map[:] = v

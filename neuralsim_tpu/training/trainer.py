@@ -19,10 +19,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..losses import (clearance_loss, cross_cr_dv_entropy_loss, eikonal_loss,
-                      lidar_loss, mask_entropy_loss, mask_occupancy_loss,
-                      mono_depth_loss, mono_normals_loss, photometric_loss,
-                      road_normal_loss, s3im_loss, sparsity_loss)
+from ..losses import (clearance_loss, color_lipschitz_loss,
+                      cross_cr_dv_entropy_loss, eikonal_loss, lidar_loss,
+                      mask_entropy_loss, mask_occupancy_loss, mono_depth_loss,
+                      mono_normals_loss, photometric_loss, ray_vw_entropy_loss,
+                      road_normal_loss, s3im_loss, sdf_curvature_loss,
+                      sparsity_loss, weight_reg_loss)
 from .optimizers import make_optimizer
 
 
@@ -53,11 +55,20 @@ class Trainer:
                  uniform_sample_n: int = 1024,
                  default_optim_cfg: Optional[Dict] = None,
                  scene=None, pose_model_id: Optional[str] = None,
-                 pose_enable_after: int = 0):
+                 pose_enable_after: int = 0,
+                 embed_model: Optional[Tuple[Any, str]] = None,
+                 debug_grads: bool = False):
         self.renderer = renderer
         self.loss_cfgs = dict(loss_cfgs)
         self.training_cfgs = dict(training_cfgs or {})
         self.uniform_sample_n = uniform_sample_n
+        # per-frame appearance embeddings: (ImageEmbeddings asset, model_id);
+        # h_appear looked up per-ray inside the jitted step so the embeddings
+        # get gradients (reference single_volume_renderer.py:170-175)
+        self.embed_model = embed_model
+        # debug_grads=True adds per-model grad norms + nonfinite counts to the
+        # step metrics (reference debug_grad sweeps, train.py:338-439)
+        self.debug_grads = debug_grads
         # pose refinement: when set, pixel batches carrying rays_xy/rays_fidx
         # are ray-lifted INSIDE the jitted loss with LearnableParams deltas
         # applied to the scenario poses (reference defers lifting to the
@@ -106,8 +117,8 @@ class Trainer:
                                       params[self.pose_model_id])
             frozen = self.scene.slice_at(batch["rays_fidx"], pose_deltas=deltas)
             ro, rd = camera_get_selected_rays(frozen, cam_id, batch["rays_xy"])
-            batch = {**{k: v for k, v in batch.items()
-                        if k not in ("rays_xy", "rays_fidx")},
+            # rays_fidx kept: h_appear lookup + postprocessor need it
+            batch = {**{k: v for k, v in batch.items() if k != "rays_xy"},
                      "rays_o": ro, "rays_d": rd}
         # image_patch batches arrive [ph, pw, ...]; flatten for the renderer
         patch_hw = None
@@ -115,10 +126,18 @@ class Trainer:
             patch_hw = batch["rays_o"].shape[:2]
             batch = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
                      if hasattr(v, "reshape")}
+        # per-ray appearance embedding from the frame index
+        h_appear = None
+        if self.embed_model is not None and "rays_fidx" in batch \
+                and cam_id is not None:
+            easset, emid = self.embed_model
+            if emid in params and cam_id in easset.tables:
+                h_appear = easset.h_appear(params[emid], cam_id,
+                                           batch["rays_fidx"])
         rendered = self.renderer.ray_query(
             params, batch["rays_o"], batch["rays_d"], key=k_render, it=it,
             with_rgb=with_rgb, return_buffer=True, occ_states=occ,
-            only_cr=(step_type == "lidar"))
+            h_appear=h_appear, only_cr=(step_type == "lidar"))
         buf = rendered.get("merged_buffer")
 
         if step_type == "pixel":
@@ -175,10 +194,16 @@ class Trainer:
             aux.update({f"lidar_{k}": v for k, v in lid_aux.items()})
 
         # --- geometry regularizers (uniform + on-render samples) -----------
-        needs_uniform = ("eikonal" in self.loss_cfgs) or ("sparsity" in self.loss_cfgs)
+        needs_uniform = any(k in self.loss_cfgs
+                            for k in ("eikonal", "sparsity", "sdf_curvature"))
         if needs_uniform and hasattr(cr, "sample_pts_uniform"):
-            _, sdf_u, nablas_u = cr.sample_pts_uniform(
+            x_u, sdf_u, nablas_u = cr.sample_pts_uniform(
                 params[self.renderer.pkey("cr")], k_uniform, self.uniform_sample_n)
+            if "sdf_curvature" in self.loss_cfgs:
+                ccfg = self.loss_cfgs["sdf_curvature"]
+                losses["loss_sdf_curvature"] = sdf_curvature_loss(
+                    cr, params[self.renderer.pkey("cr")], x_u, it, ccfg,
+                    eps=ccfg.get("eps", 1e-3), key=jax.random.fold_in(k_eik, 3))
             if "eikonal" in self.loss_cfgs:
                 cfg = self.loss_cfgs["eikonal"]
                 loss_eik = eikonal_loss(nablas_u, it, cfg, key=k_eik)
@@ -192,6 +217,22 @@ class Trainer:
         if "clearance" in self.loss_cfgs and "details_cr" in rendered:
             losses["loss_clearance"] = clearance_loss(
                 rendered["details_cr"]["near_sdf"], it, self.loss_cfgs["clearance"])
+        if "weight_reg" in self.loss_cfgs:
+            wr_cfg = self.loss_cfgs["weight_reg"]
+            wr_params = params[self.renderer.pkey(wr_cfg.get("on", "cr"))]
+            losses["loss_weight_reg"] = weight_reg_loss(wr_params, it, wr_cfg)
+        if "ray_vw_entropy" in self.loss_cfgs and buf is not None:
+            from ..ops.segment import alpha_to_vw
+            losses["loss_ray_vw_entropy"] = ray_vw_entropy_loss(
+                alpha_to_vw(buf["alpha"], buf["mask"]), buf["mask"], it,
+                self.loss_cfgs["ray_vw_entropy"])
+        if "color_lipschitz" in self.loss_cfgs:
+            rad = getattr(cr, "radiance_net", None)
+            if rad is not None and hasattr(rad, "lipschitz_bound"):
+                losses["loss_color_lipschitz"] = color_lipschitz_loss(
+                    rad.lipschitz_bound(
+                        params[self.renderer.pkey("cr")]["radiance"]),
+                    it, self.loss_cfgs["color_lipschitz"])
 
         total = sum(losses.values(), jnp.asarray(0.0))
         aux["rendered_mask_mean"] = jnp.mean(rendered["mask_volume"])
@@ -212,6 +253,16 @@ class Trainer:
                                        occ=state.occ, cam_id=cam_id)
 
         (total, extras), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if self.debug_grads:
+            # NaN forensics (reference debug_grad, train.py:338-439): per-model
+            # grad norm + count of non-finite grad entries in the metrics
+            for mid, g in grads.items():
+                leaves = jax.tree.leaves(g)
+                if not leaves:
+                    continue
+                extras["aux"][f"gradnorm/{mid}"] = optax.global_norm(g)
+                extras["aux"][f"nonfinite/{mid}"] = sum(
+                    jnp.sum(~jnp.isfinite(l)) for l in leaves)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

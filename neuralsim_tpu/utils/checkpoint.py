@@ -53,18 +53,21 @@ class CheckpointIO:
         ocp = _ocp()
         path = tag_or_path
         if path is None:
-            # newest step snapshot, else the 'final'/'latest' tag saves
+            # most-recent of: newest step snapshot vs the tag saves. The
+            # time-based 'latest' is typically newer than the last i_backup
+            # step snapshot — picking the step snapshot unconditionally would
+            # silently discard up to i_backup iterations of progress.
+            candidates = []
             ckpts = self.sorted_ckpts()
             if ckpts:
-                path = ckpts[-1]
-            else:
-                for tag in ("final", "latest"):
-                    p = os.path.join(self.ckpt_dir, tag)
-                    if os.path.isdir(p):
-                        path = p
-                        break
-                if path is None:
-                    return None
+                candidates.append(ckpts[-1])
+            for tag in ("final", "latest"):
+                p = os.path.join(self.ckpt_dir, tag)
+                if os.path.isdir(p):
+                    candidates.append(p)
+            if not candidates:
+                return None
+            path = max(candidates, key=os.path.getmtime)
         elif not os.path.isabs(path):
             path = os.path.join(self.ckpt_dir, path)
         ckptr = ocp.StandardCheckpointer()

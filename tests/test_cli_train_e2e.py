@@ -1,0 +1,147 @@
+"""CLI-path end-to-end tests: drive ``tools/train.py`` main()/main_function
+directly (VERDICT r1 item 3/7 — catches wiring bugs that unit tests on
+library code cannot: argparse handling, in-jit ray lifting, pose-refinement
+and appearance-embedding gradients, image_patch step, error-map plumbing,
+orphan-regularizer reachability).
+
+Reference analogs: ``code_single/tools/train.py`` main_function with the
+image_patch step (:1592-1642) and LearnableParams/ImageEmbeddings consumption
+(single_volume_renderer.py:170-175, learnable_params.py:98-112).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from neuralsim_tpu.tools.train import main, main_function
+
+
+def _tiny_cfg(tmp_path, **training_extra):
+    cfg = {
+        "exp_dir": str(tmp_path / "exp"),
+        "seed": 0,
+        "compile_cache": None,
+        "dataset_cfg": {
+            "target": "neuralsim_tpu.dataio.synthetic_scene.SyntheticSceneDataset",
+            "params": {"n_frames": 4, "H": 32, "W": 32, "radius": 2.0},
+        },
+        "scenebank_cfg": {"scenarios": ["synthetic_object"]},
+        "assetbank_cfg": {
+            "Main": {
+                "model_class": "neuralsim_tpu.models.assets.LoTDNeuSObj",
+                "model_params": {
+                    "extent": 1.0,
+                    "encoding_cfg": {"n_levels": 4, "base_res": 8,
+                                     "max_res": 32, "n_feats": 2,
+                                     "log2_hashmap_size": 10},
+                    "geo_feat_dim": 8, "decoder_hidden": 16,
+                    "radiance_hidden": 16, "inv_s_init": 30.0,
+                    "query_cfg": {"num_coarse": 16, "num_fine": [4],
+                                  "upsample_inv_s": 32.0,
+                                  "upsample_inv_s_factors": [1.0]},
+                },
+                "asset_params": {"training_cfg": {"lr": 0.01}},
+            },
+            "Sky": {
+                "model_class": "neuralsim_tpu.models.assets.SimpleSkyAsset",
+                "model_params": {"hidden": 8},
+                "asset_params": {"training_cfg": {"lr": 0.003}},
+            },
+        },
+        "renderer": {"cr_class": "Main", "sky_class": "Sky"},
+        "training": {
+            "num_iters": 6, "n_rays": 128, "uniform_sample_n": 64,
+            "i_log": 2, "i_val": 1000, "val_downscale": 8,
+            "with_mask": True,
+            "losses": {
+                "rgb": {"fn_type": "huber", "fn_param": {"delta": 0.1},
+                        "w": 10.0},
+                "occupancy_mask": {"w": 0.3},
+                "eikonal": {"w": 0.01, "on_render_ratio": 0.3},
+                "sparsity": {"w": 0.002},
+            },
+            **training_extra,
+        },
+    }
+    return cfg
+
+
+def test_main_function_full_wiring(tmp_path):
+    """All round-1 'dead components' exercised through the real CLI driver:
+    pose refinement, appearance embeddings, error map, frame weighting,
+    image_patch step with mono+s3im, and the 4 orphan regularizers."""
+    cfg = _tiny_cfg(
+        tmp_path,
+        error_map={"hw": [8, 8], "frac_uniform": 0.5},
+        frame_sample_mode="by_speed",
+        image_patch={"every": 2, "num_pixels": [8, 8]},
+        debug_grads=True,
+        losses={
+            "rgb": {"fn_type": "huber", "fn_param": {"delta": 0.1}, "w": 10.0},
+            "occupancy_mask": {"w": 0.3},
+            "eikonal": {"w": 0.01, "on_render_ratio": 0.3},
+            "sparsity": {"w": 0.002},
+            "sdf_curvature": {"w": 1e-4},
+            "weight_reg": {"w": 1e-6},
+            "ray_vw_entropy": {"w": 1e-4},
+            "color_lipschitz": {"w": 1e-5},
+            "s3im": {"w": 0.1, "patch_hw": [4, 4]},
+            "mono_depth": {"w": 0.1},
+        },
+    )
+    cfg["assetbank_cfg"]["Pose"] = {
+        "model_class": "neuralsim_tpu.models.assets.LearnableParams",
+        "model_params": {"enable_after": 0},
+        "asset_params": {"training_cfg": {"lr": 0.001}},
+    }
+    cfg["assetbank_cfg"]["Embed"] = {
+        "model_class": "neuralsim_tpu.models.assets.ImageEmbeddings",
+        "model_params": {"dim": 4},
+        "asset_params": {"training_cfg": {"lr": 0.001}},
+    }
+    # appearance embedding consumed by the cr radiance net
+    cfg["assetbank_cfg"]["Main"]["model_params"]["appear_embed_dim"] = 4
+
+    out = main_function(cfg)
+    assert np.isfinite(out["psnr"])
+    params = out["state"].params
+
+    pose_mid = next(m for m in params if m.startswith("Pose"))
+    dtrans = np.concatenate([np.asarray(v["dtrans"]).ravel()
+                             for v in params[pose_mid].values()])
+    assert np.any(dtrans != 0.0), "pose deltas got no gradient"
+
+    # the wired losses actually appear in the logged metrics, and the
+    # appearance embeddings receive real gradient (debug_grads norms)
+    metrics_path = os.path.join(out["exp_dir"], "metrics.jsonl")
+    tags = {}
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            for k, v in rec.items():
+                if k not in ("t", "step"):
+                    tags[k] = v
+    for t in ("loss_sdf_curvature", "loss_weight_reg", "loss_ray_vw_entropy",
+              "patch/loss_s3im", "patch/loss_mono_depth"):
+        assert t in tags, f"{t} missing from logged metrics: {sorted(tags)}"
+    emb_mid = next(m for m in params if m.startswith("Embed"))
+    gn = [v for k, v in tags.items() if k == f"gradnorm/{emb_mid}"]
+    assert gn and gn[0] > 0.0, "appearance embeddings got no gradient"
+
+
+def test_main_cli_args(tmp_path):
+    """Regression for the r1 argparse CLI bugs: drive main() with real argv
+    including dot-overrides against a real config file."""
+    out = main([
+        "--config", "configs/synthetic_object.yaml",
+        f"--exp_dir={tmp_path / 'cli_exp'}",
+        "--training.num_iters=3",
+        "--training.n_rays=64",
+        "--training.i_val=1000",
+        "--training.uniform_sample_n=32",
+        "--compile_cache=",
+    ])
+    assert np.isfinite(out["psnr"])
+    assert os.path.isfile(os.path.join(out["exp_dir"], "config.yaml"))
+    assert os.path.isdir(os.path.join(out["exp_dir"], "ckpts", "final"))
