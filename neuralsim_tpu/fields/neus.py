@@ -371,6 +371,7 @@ class NeuSField:
                   perturb: bool = True,
                   with_rgb: bool = True,
                   with_normal: bool = True,
+                  proposal_no_grad: bool = True,
                   forward_inv_s: Optional[float] = None,
                   h_appear: Optional[jnp.ndarray] = None,
                   max_level: Optional[jnp.ndarray] = None,
@@ -426,9 +427,15 @@ class NeuSField:
                 d["c"] = _cx(shape)
             return d
 
+        # The proposal ladder (coarse march + upsampling) only PLACES samples;
+        # the reference runs it under torch.no_grad() (NeuS up_sample). Params
+        # are detached here so the coarse/upsample sdf evals cost no backward
+        # — the final full evaluation below trains everything.
+        prop_params = jax.lax.stop_gradient(params) if proposal_no_grad else params
+
         x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
         sdf = map_chunked(
-            lambda a: self.query_sdf_feat(params, a["x"], max_level=max_level,
+            lambda a: self.query_sdf_feat(prop_params, a["x"], max_level=max_level,
                                           bidx=a.get("b"), cond=a.get("c"))[0],
             {"x": x.reshape(-1, 3), **_extras(x.shape[:-1])},
             self.eval_chunk).reshape(x.shape[:-1])
@@ -445,7 +452,7 @@ class NeuSField:
             t_new = sample_pdf(bins, w, nf, key=sk, det=not perturb)
             x_new = rays_o[:, None, :] + t_new[..., None] * rays_d[:, None, :]
             sdf_new = map_chunked(
-                lambda a: self.query_sdf_feat(params, a["x"], max_level=max_level,
+                lambda a: self.query_sdf_feat(prop_params, a["x"], max_level=max_level,
                                               bidx=a.get("b"), cond=a.get("c"))[0],
                 {"x": x_new.reshape(-1, 3), **_extras(x_new.shape[:-1])},
                 self.eval_chunk).reshape(x_new.shape[:-1])
