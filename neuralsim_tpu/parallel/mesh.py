@@ -40,31 +40,47 @@ def replicated_spec(tree: Any) -> Any:
 
 
 def make_sharded_train_step(trainer, mesh: Mesh, step_type: str = "pixel",
-                            axis_name: str = "data"):
+                            axis_name: str = "data", example_batch=None,
+                            cam_id: Optional[str] = None):
     """Build the pjit'd data-parallel train step.
 
     Batch leaves are sharded on the ray axis; TrainState is replicated. XLA
     derives the psum for gradient reduction from the sharding constraints —
     the DDP-allreduce equivalent rides ICI fused into the backward
     (SURVEY.md §5 distributed row).
+
+    The batch sharding spec is derived from ``example_batch``'s pytree (any
+    step type / any key set — pixel, lidar, patch, pose-refinement batches
+    with rays_xy/rays_fidx all shard on their leading ray axis). When
+    ``example_batch`` is None the spec is resolved lazily from the first
+    batch passed to the returned step.
     """
 
     def step(state, batch, key):
-        return trainer.train_step(state, batch, key, step_type)
+        return trainer.train_step(state, batch, key, step_type, cam_id)
 
     batch_sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
-    return jax.jit(
-        step,
-        in_shardings=(repl, jax.tree.map(lambda _: batch_sharding,
-                                         {"rays_o": 0, "rays_d": 0, "image_rgb": 0,
-                                          "image_occupancy_mask": 0}
-                                         if step_type == "pixel" else
-                                         {"rays_o": 0, "rays_d": 0, "ranges": 0}),
-                      repl),
-        out_shardings=(repl, repl),
-    )
+    def specs_for(batch):
+        return jax.tree.map(lambda _: batch_sharding, batch)
+
+    if example_batch is not None:
+        return jax.jit(step,
+                       in_shardings=(repl, specs_for(example_batch), repl),
+                       out_shardings=(repl, repl))
+
+    _cache: Dict[Tuple, Any] = {}
+
+    def lazy_step(state, batch, key):
+        sig = tuple(sorted(batch))
+        if sig not in _cache:
+            _cache[sig] = jax.jit(step,
+                                  in_shardings=(repl, specs_for(batch), repl),
+                                  out_shardings=(repl, repl))
+        return _cache[sig](state, batch, key)
+
+    return lazy_step
 
 
 def make_sharded_render(renderer, mesh: Mesh, axis_name: str = "data", **query_kw):
