@@ -199,3 +199,27 @@ class OccGridEmaBatched(OccGridEma):
             bidx = jnp.zeros(x.shape[:-1], jnp.int32)
         occ = state.mask[bidx, cell[..., 0], cell[..., 1], cell[..., 2]]
         return occ & inside
+
+    def ray_proposal_batched(self, state: OccGridState, rays_o: jnp.ndarray,
+                             rays_d: jnp.ndarray, near: jnp.ndarray,
+                             far: jnp.ndarray, n_samples: int,
+                             bidx: jnp.ndarray, key: Optional[jax.Array] = None,
+                             march_steps: int = 96
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-instance grid-marched proposal: same fixed-step occupancy-CDF
+        march as the base class, reading each ray's own instance grid
+        (reference occ_grid_batched_ema marcher)."""
+        from ..ops.segment import sample_pdf
+        M = march_steps
+        edges01 = jnp.linspace(0.0, 1.0, M + 1)
+        t_edges = near[:, None] + (far - near)[:, None] * edges01
+        t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
+        x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+        occ = self.occupancy_at(state, x, bidx=jnp.broadcast_to(
+            bidx[:, None], t_mid.shape))
+        hit_any = jnp.any(occ, axis=-1, keepdims=True)
+        w = occ.astype(jnp.float32) + (~hit_any) * 1.0
+        t = sample_pdf(t_edges, w, n_samples, key=key, det=key is None,
+                       eps=1e-6)
+        t = jnp.sort(t, axis=-1)
+        return t, jnp.ones_like(t, dtype=bool)

@@ -9,11 +9,16 @@ and decompose per-object/per-class contributions from ``vw_in_total``.
 TPU translation (SURVEY.md §7):
   * the ragged scatter + ``packed_sort`` becomes concat-on-sample-axis of K
     fixed-budget dense buffers + ONE ``lax.sort`` per ray;
-  * frustum culling is replaced by per-object ray-AABB masking inside the
-    graph (static shapes; a culled object contributes zero valid samples);
-  * shared categorical models evaluate all their instances in one *batched*
-    query (instance index per sample row) — the analog of
-    ``batched_query_shared`` (reference :209-391).
+  * the reference's ``batched_query_shared`` on hit-compacted rays
+    (:209-391) becomes: per object, compact the rays that hit its AABB to a
+    fixed ``hit_budget`` (argsort the hit mask), then ONE batched query per
+    shared model over the stacked [K, B] compacted rays (instance index per
+    row), scattered back to [N, S] before the merge. Evaluation cost is
+    O(K*B*S) instead of O(K*N*S) — sublinear in ray count for small
+    objects, and shared categorical models run all their instances in one
+    program;
+  * frustum culling of whole objects stays host-side
+    (``camera_filter_drawables``) producing the static binding list.
 """
 from __future__ import annotations
 
@@ -40,18 +45,52 @@ class ObjectBinding:
         self.bidx = bidx  # instance index into a shared batched model
 
 
+def _compact_hit_rays(o_l, d_l, hit, budget):
+    """Order rays hit-first and keep ``budget`` of them.
+
+    Returns (sel [B] ray indices, o [B,3], d [B,3], hit_sel [B])."""
+    order = jnp.argsort(~hit)            # False(=hit) sorts first; stable
+    sel = order[:budget]
+    return sel, o_l[sel], d_l[sel], hit[sel]
+
+
+def _scatter_buffer(buf: Dict[str, Any], sel: jnp.ndarray, n_rays: int
+                    ) -> Dict[str, Any]:
+    """Expand a compacted [B, S, ...] volume buffer back to [N, S, ...]
+    (unselected rays: empty/masked-out)."""
+    out = {}
+    for k, v in buf.items():
+        if k == "details":
+            out[k] = {kk: (jnp.zeros((n_rays,) + vv.shape[1:], vv.dtype)
+                           .at[sel].set(vv)
+                           if hasattr(vv, "shape") and vv.ndim >= 1
+                           and vv.shape[0] == sel.shape[0] else vv)
+                      for kk, vv in v.items()}
+        elif hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == sel.shape[0]:
+            out[k] = jnp.zeros((n_rays,) + v.shape[1:], v.dtype).at[sel].set(v)
+        else:
+            out[k] = v
+    return out
+
+
 class BufferComposeRenderer:
     """Composes K object models + street (cr) + distant + sky.
 
     ``objects``: list of ObjectBinding for the scene's drawables.
     ``scene_models``: dict with optional 'cr' (street), 'distant', 'sky'
     role -> (field, model_id, query_cfg).
+    ``hit_budget_frac``: fraction of the ray batch each object may evaluate
+    (the fixed-shape stand-in for exact hit compaction; objects covering
+    more of the image than this drop the overflow rays). None disables
+    compaction (exact, O(K*N)).
     """
 
     def __init__(self, scene, objects: Sequence[ObjectBinding],
                  scene_models: Dict[str, Tuple[Any, str, Dict]], *,
                  obj_query_cfg: Optional[Dict] = None,
-                 depth_use_normalized_vw: bool = True):
+                 depth_use_normalized_vw: bool = True,
+                 hit_budget_frac: Optional[float] = 0.5,
+                 accels: Optional[Dict[str, Any]] = None):
         self.scene = scene
         self.objects = list(objects)
         self.scene_models = dict(scene_models)
@@ -59,51 +98,96 @@ class BufferComposeRenderer:
                               "upsample_inv_s_factors": (1.0,),
                               **(obj_query_cfg or {})}
         self.depth_use_normalized_vw = depth_use_normalized_vw
+        self.hit_budget_frac = hit_budget_frac
+        # role ('cr') or model_id -> OccGrid accel (state passed per call);
+        # batched accels serve shared categorical models
+        self.accels = dict(accels or {})
 
     # ------------------------------------------------------------------
+    def _grouped(self):
+        groups: Dict[str, List[ObjectBinding]] = {}
+        for ob in self.objects:
+            groups.setdefault(ob.model_id, []).append(ob)
+        return groups
+
     def ray_query(self, params: Params, frozen, rays_o: jnp.ndarray,
                   rays_d: jnp.ndarray, *, key=None, it=None,
                   with_rgb: bool = True, only_cr: bool = False,
                   h_appear: Optional[jnp.ndarray] = None,
+                  occ_states: Optional[Dict[str, Any]] = None,
                   return_buffer: bool = False) -> Dict[str, Any]:
         """frozen: FrozenScene at the batch's frame indices (built inside the
         jitted caller so object poses stay differentiable)."""
+        N = rays_o.shape[0]
         buffers: List[Dict[str, Any]] = []
         names: List[str] = []
+        B = N if self.hit_budget_frac is None else \
+            max(min(N, int(round(N * self.hit_budget_frac))), 1)
 
-        # --- per-object queries (reference query_single :490) --------------
+        # --- per-object queries, grouped per model so shared categorical
+        # models evaluate ALL their instances in one batched program
+        # (reference batched_query_shared, buffer_compose_renderer.py:209-391)
         if not only_cr:
-            for i, ob in enumerate(self.objects):
-                kb = jax.random.fold_in(key, i) if key is not None else None
-                o_l, d_l, dn = frozen.rays_to_node(ob.obj_id, rays_o, rays_d)
-                valid = frozen.valid(ob.obj_id)
-                qkw = dict(ob.query_cfg)
-                if ob.bidx is not None:
-                    # shared categorical model: constant instance index for
-                    # this drawable (reference set_condition({'ins_id': ...}))
-                    qkw["bidx"] = jnp.full(rays_o.shape[:-1], ob.bidx,
-                                           jnp.int32)
-                buf = ob.field.ray_query(
-                    params[ob.model_id], o_l, d_l, key=kb, it=it,
-                    with_rgb=with_rgb, **qkw)
-                # object-frame t -> world t: the world point o_w + t_w*d_w maps
-                # to local o_l + (t_w*dn)*d_unit, so t_w = t_local / dn
-                # (dn = |R_w2n d / scale| ~ 1/scale for unit world dirs)
-                buf = dict(buf)
-                buf["t"] = buf["t"] / jnp.clip(dn[:, None], 1e-9)
-                v = jnp.asarray(valid)
-                vm = v if v.ndim == 0 else v[:, None]
-                buf["mask"] = buf["mask"] & jnp.broadcast_to(vm, buf["mask"].shape)
-                buf["alpha"] = jnp.where(buf["mask"], buf["alpha"], 0.0)
-                if "nablas" in buf:
-                    # rotate object-frame nablas to world (reference
-                    # rotate_volume_buffer_nablas, renderers/utils.py:17)
-                    n2w = frozen.world_transform(ob.obj_id)
-                    buf["nablas"] = apply_rotation(
-                        n2w if n2w.ndim == 2 else n2w[:, None, :, :],
-                        buf["nablas"])
-                buffers.append(buf)
-                names.append(ob.obj_id)
+            for gi, (model_id, obs) in enumerate(self._grouped().items()):
+                kb = jax.random.fold_in(key, gi) if key is not None else None
+                sels, os_, ds_, dns, hits, valids = [], [], [], [], [], []
+                for ob in obs:
+                    o_l, d_l, dn = frozen.rays_to_node(ob.obj_id, rays_o, rays_d)
+                    n_, f_, hit = ob.field.space.ray_test(o_l, d_l)
+                    v = jnp.asarray(frozen.valid(ob.obj_id))
+                    hit = hit & (v if v.ndim else jnp.broadcast_to(v, hit.shape))
+                    sel, o_c, d_c, hit_c = _compact_hit_rays(o_l, d_l, hit, B)
+                    sels.append(sel)
+                    os_.append(o_c)
+                    ds_.append(d_c)
+                    dns.append(dn[sel])
+                    hits.append(hit_c)
+                    valids.append(v)
+                K = len(obs)
+                qkw = dict(obs[0].query_cfg)
+                shared = obs[0].bidx is not None
+                o_all = jnp.concatenate(os_, 0)                # [K*B, 3]
+                d_all = jnp.concatenate(ds_, 0)
+                if shared:
+                    qkw["bidx"] = jnp.concatenate(
+                        [jnp.full((B,), ob.bidx, jnp.int32) for ob in obs])
+                if occ_states and model_id in occ_states \
+                        and model_id in self.accels:
+                    accel = self.accels[model_id]
+                    st = occ_states[model_id]
+                    bx = qkw.get("bidx")
+                    qkw.setdefault(
+                        "occ_t_fn",
+                        lambda ro, rd, n_, f_, nc, k, accel=accel, st=st, bx=bx:
+                        accel.ray_proposal(st, ro, rd, n_, f_, nc, key=k)
+                        if bx is None else
+                        accel.ray_proposal_batched(st, ro, rd, n_, f_, nc,
+                                                   bx, key=k))
+                buf_all = ob.field.ray_query(params[model_id], o_all, d_all,
+                                             key=kb, it=it, with_rgb=with_rgb,
+                                             **qkw)
+                # split [K*B] -> per-object [B], convert + scatter back to [N]
+                for ki, ob in enumerate(obs):
+                    sl = slice(ki * B, (ki + 1) * B)
+                    buf = {k: (v[sl] if hasattr(v, "shape") and v.ndim >= 1
+                               and v.shape[0] == K * B else v)
+                           for k, v in buf_all.items() if k != "details"}
+                    buf["details"] = {
+                        k: (v[sl] if hasattr(v, "shape") and v.ndim >= 1
+                            and v.shape[0] == K * B else v)
+                        for k, v in buf_all["details"].items()}
+                    # object-frame t -> world t: world o_w + t_w*d_w maps to
+                    # local o_l + (t_w*dn)*d_unit, so t_w = t_local / dn
+                    buf["t"] = buf["t"] / jnp.clip(dns[ki][:, None], 1e-9)
+                    buf["mask"] = buf["mask"] & hits[ki][:, None]
+                    buf["alpha"] = jnp.where(buf["mask"], buf["alpha"], 0.0)
+                    if "nablas" in buf:
+                        n2w = frozen.world_transform(ob.obj_id)
+                        if n2w.ndim > 2:       # per-ray transforms: compact too
+                            n2w = n2w[sels[ki]][:, None, :, :]
+                        buf["nablas"] = apply_rotation(n2w, buf["nablas"])
+                    buffers.append(_scatter_buffer(buf, sels[ki], N))
+                    names.append(ob.obj_id)
 
         # --- street / close-range scene model -------------------------------
         cr_far = None
@@ -111,6 +195,14 @@ class BufferComposeRenderer:
         if "cr" in self.scene_models:
             field, mid, qcfg = self.scene_models["cr"]
             kb = jax.random.fold_in(key, 1000) if key is not None else None
+            qcfg = dict(qcfg)
+            if occ_states and "cr" in occ_states and "cr" in self.accels:
+                accel = self.accels["cr"]
+                st = occ_states["cr"]
+                qcfg.setdefault("occ_t_fn",
+                                lambda ro, rd, n_, f_, nc, k:
+                                accel.ray_proposal(st, ro, rd, n_, f_, nc,
+                                                   key=k))
             buf = field.ray_query(params[mid], rays_o, rays_d, key=kb, it=it,
                                   with_rgb=with_rgb, **qcfg)
             cr_far = buf["details"]["far"]
@@ -138,6 +230,9 @@ class BufferComposeRenderer:
         rendered["src_names"] = names
         rendered["rendered_per_obj_in_scene"] = {
             n: r for n, r in zip(names, rendered["per_src"])}
+        if "street" in names:
+            rendered["rendered_cr"] = rendered["per_src"][names.index("street")]
+            rendered["details_cr"] = buffers[names.index("street")]["details"]
 
         if with_rgb and "sky" in self.scene_models:
             sky, mid, _ = self.scene_models["sky"]
@@ -154,9 +249,10 @@ class BufferComposeRenderer:
     @classmethod
     def from_asset_bank(cls, scene, bank, *, obj_query_cfg=None,
                         cr_class: str = "Street", distant_class: str = "Distant",
-                        sky_class: str = "Sky") -> "BufferComposeRenderer":
+                        sky_class: str = "Sky", **kw) -> "BufferComposeRenderer":
         """Bind every scene drawable + scene-level models from an AssetBank."""
         objects = []
+        accels = {}
         for oid in scene.drawable_ids():
             mid = bank.model_for(scene.id, oid)
             if mid is None:
@@ -168,14 +264,19 @@ class BufferComposeRenderer:
             objects.append(ObjectBinding(oid, mid, asset.field,
                                          {**(obj_query_cfg or {}),
                                           **asset.query_cfg}, bidx=bidx))
+            if getattr(asset, "accel", None) is not None:
+                accels[mid] = asset.accel
         scene_models = {}
         for role, cname in (("cr", cr_class), ("distant", distant_class),
                             ("sky", sky_class)):
             for mid, asset in bank.assets.items():
                 if bank.class_of[mid] == cname and asset.field is not None:
                     scene_models[role] = (asset.field, mid, asset.query_cfg)
+                    if role == "cr" and getattr(asset, "accel", None) is not None:
+                        accels["cr"] = asset.accel
                     break
-        return cls(scene, objects, scene_models, obj_query_cfg=obj_query_cfg)
+        return cls(scene, objects, scene_models, obj_query_cfg=obj_query_cfg,
+                   accels=accels, **kw)
 
 
 def render_instance_segmentation(rendered: Dict[str, Any]) -> jnp.ndarray:

@@ -123,6 +123,10 @@ class SingleVolumeRenderer:
             rendered["rgb_volume"] = rendered["rgb_volume"] + (1.0 - mask) * sky_rgb
 
         rendered["details_cr"] = buf_cr["details"]
+        if "sigma_dynamic" in buf_cr:
+            # EmerNeRF decomposition quantities for the dynamic losses
+            rendered["sigma_dynamic_cr"] = jnp.where(
+                buf_cr["mask"], buf_cr["sigma_dynamic"], 0.0)
         if not return_buffer:
             rendered.pop("merged_buffer", None)
         return rendered

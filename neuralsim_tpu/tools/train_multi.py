@@ -42,7 +42,8 @@ def build_everything_multi(cfg):
         training_cfgs=bank.training_cfgs(),
         uniform_sample_n=tcfg.get("uniform_sample_n", 256))
     loader = SceneDataLoader(scene, dataset,
-                             with_mask=tcfg.get("with_mask", True)) \
+                             with_mask=tcfg.get("with_mask", True),
+                             with_lidar=tcfg.get("with_lidar", False)) \
         if hasattr(dataset, "get_image") else None
     return scene, bank, renderer, trainer, loader, dataset
 
@@ -79,16 +80,54 @@ def main_function(cfg) -> Dict[str, Any]:
 
     sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 2048),
                            seed=cfg.get("seed", 42))
+    # lidar + image_patch cadence (reference code_multi step types,
+    # code_multi/tools/train.py:240-252)
+    lidar_sampler = None
+    if tcfg.get("with_lidar"):
+        from ..dataio.dataloader import LidarSampler
+        lidar_sampler = LidarSampler(loader,
+                                     n_rays=tcfg.get("n_rays_lidar", 2048))
+    patch_sampler = None
+    p_cfg = tcfg.get("image_patch", {})
+    i_patch = int(p_cfg.get("every", 0))
+    if i_patch:
+        from ..dataio.patch_sampler import ImagePatchSampler
+        patch_sampler = ImagePatchSampler(
+            loader, mode=p_cfg.get("mode", "flex_grid"),
+            seed=cfg.get("seed", 42), dataset=dataset,
+            **{k: v for k, v in p_cfg.items() if k not in ("every", "mode")})
+
     num_iters = int(tcfg.get("num_iters", 2000))
     i_log = int(tcfg.get("i_log", 50))
     t0 = time.time()
     m = {}
+    sticky_m = {}
     for it in range(num_iters):
         key, sk = jax.random.split(key)
         raw = sampler.sample()
         batch = lift_pixel_batch(scene, raw)
         batch["rays_fidx"] = jnp.asarray(raw["rays_fidx"])
         state, m = trainer.train_step(state, batch, sk)
+        if lidar_sampler is not None:
+            lb = lidar_sampler.sample()
+            if lb is not None:
+                from .train import lift_lidar_batch
+                key, sk = jax.random.split(key)
+                lbatch = lift_lidar_batch(scene, lb)
+                lbatch["rays_fidx"] = jnp.asarray(lb["rays_fidx"])
+                state, ml = trainer.train_step(state, lbatch, sk, "lidar")
+                sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
+        if patch_sampler is not None and (it + 1) % i_patch == 0:
+            praw = patch_sampler.sample(it)
+            key, sk = jax.random.split(key)
+            pb = lift_pixel_batch(scene, praw)
+            pb["rays_fidx"] = jnp.asarray(praw["rays_fidx"])
+            for k in ("image_mono_depth", "image_mono_normals"):
+                if k in praw:
+                    pb[k] = jnp.asarray(praw[k])
+            state, mp = trainer.train_step(state, pb, sk, "image_patch")
+            sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
+        m = {**sticky_m, **m}
         if it % i_log == 0:
             mm = {k: float(np.asarray(v)) for k, v in m.items()
                   if np.asarray(v).ndim == 0}

@@ -2,7 +2,9 @@
 
 TPU-native re-design of ``code_multi/tools/train.py`` (reference, 1552 LoC —
 SURVEY.md §2.6: same Trainer skeleton as code_single with the compose
-renderer, plus latent/deformation losses and per-class uniform eikonal).
+renderer — step types 'pixel' / 'lidar' / 'image_patch'
+(code_multi/tools/train.py:240-252), latent/deformation/flow losses,
+per-class uniform eikonal, occ-grid states carried for batched models).
 The scene is sliced at the batch's (vector) frame indices INSIDE the jitted
 step, so object pose gradients remain reachable.
 """
@@ -15,8 +17,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..losses import (eikonal_loss, mask_entropy_loss, mask_occupancy_loss,
-                      photometric_loss, sparsity_loss)
+from ..losses import (clearance_loss, eikonal_loss, lidar_loss,
+                      mask_entropy_loss, mask_occupancy_loss, mono_depth_loss,
+                      mono_normals_loss, photometric_loss, s3im_loss,
+                      sparsity_loss)
 from .optimizers import make_optimizer
 from .trainer import TrainState
 
@@ -40,61 +44,149 @@ class MultiObjectTrainer:
             raise ValueError("params must come from the AssetBank")
         self.optimizer = make_optimizer(self.training_cfgs, params,
                                         self.default_optim_cfg)
+        # occupancy-grid EMA states for every accel-equipped model (incl.
+        # batched per-instance grids of shared categorical models)
+        occ = {mid: accel.init_state()
+               for mid, accel in getattr(self.renderer, "accels", {}).items()} \
+            or None
         return TrainState(params, self.optimizer.init(params),
-                          jnp.asarray(0, jnp.int32), None)
+                          jnp.asarray(0, jnp.int32), occ)
 
     # ------------------------------------------------------------------
-    def compute_losses(self, params, batch, it, key) -> Tuple[jnp.ndarray, Dict]:
+    def _fields_by_model(self):
+        seen: Dict[str, Any] = {}
+        for ob in self.renderer.objects:
+            seen.setdefault(ob.model_id, ob.field)
+        for role in ("cr",):
+            sm = self.renderer.scene_models.get(role)
+            if sm is not None:
+                field, mid, _ = sm
+                seen.setdefault(mid, field)
+        return seen
+
+    def compute_losses(self, params, batch, it, key,
+                       step_type: str = "pixel", occ=None
+                       ) -> Tuple[jnp.ndarray, Dict]:
         k_render, k_uniform, k_eik = jax.random.split(key, 3)
+        with_rgb = step_type != "lidar"
+        patch_hw = None
+        if step_type == "image_patch":
+            patch_hw = batch["rays_o"].shape[:2]
+            batch = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
+                     if hasattr(v, "reshape")}
         frozen = self.scene.slice_at(batch["rays_fidx"])
         rendered = self.renderer.ray_query(
             params, frozen, batch["rays_o"], batch["rays_d"],
-            key=k_render, it=it, return_buffer=True)
+            key=k_render, it=it, with_rgb=with_rgb,
+            only_cr=(step_type == "lidar"), occ_states=occ,
+            return_buffer=True)
         buf = rendered.get("merged_buffer")
 
         losses: Dict[str, jnp.ndarray] = {}
         aux: Dict[str, Any] = {}
-        if "rgb" in self.loss_cfgs:
-            losses["loss_rgb"], ph = photometric_loss(rendered, batch, it,
-                                                      self.loss_cfgs["rgb"])
-            aux.update(ph)
-        if "occupancy_mask" in self.loss_cfgs and "image_occupancy_mask" in batch:
-            losses["loss_mask"] = mask_occupancy_loss(
-                rendered, batch, it, self.loss_cfgs["occupancy_mask"])
-        if "mask_entropy" in self.loss_cfgs:
-            losses["loss_mask_entropy"] = mask_entropy_loss(
-                rendered, it, self.loss_cfgs["mask_entropy"])
+        if step_type in ("pixel", "image_patch"):
+            if "rgb" in self.loss_cfgs:
+                losses["loss_rgb"], ph = photometric_loss(rendered, batch, it,
+                                                          self.loss_cfgs["rgb"])
+                aux.update(ph)
+            if "occupancy_mask" in self.loss_cfgs and \
+                    "image_occupancy_mask" in batch:
+                losses["loss_mask"] = mask_occupancy_loss(
+                    rendered, batch, it, self.loss_cfgs["occupancy_mask"])
+            if "mask_entropy" in self.loss_cfgs:
+                losses["loss_mask_entropy"] = mask_entropy_loss(
+                    rendered, it, self.loss_cfgs["mask_entropy"])
 
-        # per-object eikonal + sparsity on each NeuS field's own space
-        # (reference: per-class uniform sampling, code_multi/train.py:240-252)
-        if "eikonal" in self.loss_cfgs:
-            cfg = self.loss_cfgs["eikonal"]
+        if step_type == "image_patch":
+            if "s3im" in self.loss_cfgs:
+                losses["loss_s3im"] = s3im_loss(
+                    rendered["rgb_volume"], batch["image_rgb"], it,
+                    self.loss_cfgs["s3im"], key=k_eik)
+            if "mono_depth" in self.loss_cfgs and "image_mono_depth" in batch:
+                ph_, pw_ = patch_hw
+                dm = batch.get("image_occupancy_mask",
+                               jnp.ones(batch["rays_o"].shape[0]))
+                losses["loss_mono_depth"] = mono_depth_loss(
+                    rendered["depth_volume"].reshape(1, ph_, pw_),
+                    batch["image_mono_depth"].reshape(1, ph_, pw_),
+                    dm.reshape(1, ph_, pw_) > 0.5, it,
+                    self.loss_cfgs["mono_depth"])
+            if "mono_normals" in self.loss_cfgs and \
+                    "image_mono_normals" in batch and \
+                    "normals_volume" in rendered:
+                nm = batch.get("image_occupancy_mask",
+                               jnp.ones(batch["rays_o"].shape[0]))
+                losses["loss_mono_normals"] = mono_normals_loss(
+                    rendered["normals_volume"], batch["image_mono_normals"],
+                    nm > 0.5, it, self.loss_cfgs["mono_normals"],
+                    w2c_rot=batch.get("w2c_rot"))
+
+        if step_type == "lidar" and "lidar" in self.loss_cfgs:
+            losses["loss_lidar"], lid_aux = lidar_loss(
+                rendered, batch["ranges"], it, self.loss_cfgs["lidar"], buf=buf)
+            aux.update({f"lidar_{k}": v for k, v in lid_aux.items()})
+
+        # per-object eikonal + sparsity + clearance on each NeuS field's own
+        # space (reference: per-class uniform sampling, code_multi/train.py:240-252)
+        needs_uniform = any(k in self.loss_cfgs
+                            for k in ("eikonal", "sparsity"))
+        if needs_uniform:
             total_eik = jnp.asarray(0.0)
-            seen = set()
-            for i, ob in enumerate(self.renderer.objects):
-                if ob.model_id in seen or not hasattr(ob.field, "sample_pts_uniform"):
+            total_sparse = jnp.asarray(0.0)
+            for i, (mid, field) in enumerate(self._fields_by_model().items()):
+                if not hasattr(field, "sample_pts_uniform"):
                     continue
-                seen.add(ob.model_id)
                 kk = jax.random.fold_in(k_uniform, i)
-                x = ob.field.space.uniform_points(kk, self.uniform_sample_n)
+                x = field.space.uniform_points(kk, self.uniform_sample_n)
                 bb = (jnp.zeros((self.uniform_sample_n,), jnp.int32)
-                      if getattr(ob.field, "n_instances", 0) else None)
-                _, nab, _ = ob.field.sdf_nablas_feat(params[ob.model_id], x,
-                                                     bidx=bb)
-                total_eik = total_eik + eikonal_loss(nab, it, cfg, key=k_eik)
-            losses["loss_eikonal"] = total_eik
+                      if getattr(field, "n_instances", 0) else None)
+                sdf_u, nab, _ = field.sdf_nablas_feat(params[mid], x, bidx=bb)
+                if "eikonal" in self.loss_cfgs:
+                    total_eik = total_eik + eikonal_loss(
+                        nab, it, self.loss_cfgs["eikonal"], key=k_eik)
+                if "sparsity" in self.loss_cfgs:
+                    total_sparse = total_sparse + sparsity_loss(
+                        sdf_u, it, self.loss_cfgs["sparsity"])
+            if "eikonal" in self.loss_cfgs:
+                losses["loss_eikonal"] = total_eik
+            if "sparsity" in self.loss_cfgs:
+                losses["loss_sparsity"] = total_sparse
+        if "clearance" in self.loss_cfgs and "details_cr" in rendered:
+            losses["loss_clearance"] = clearance_loss(
+                rendered["details_cr"]["near_sdf"], it,
+                self.loss_cfgs["clearance"])
+
+        # EmerNeRF self-supervision: flow cycle consistency + dynamic-density
+        # sparsity on the rendered samples (reference emernerf losses,
+        # app/models/single/dynamic_nerf.py + FlowLoss)
+        if "flow" in self.loss_cfgs or "dynamic_sparsity" in self.loss_cfgs:
+            for mid, field in self._fields_by_model().items():
+                if not hasattr(field, "flow_cycle_residual"):
+                    continue
+                if "flow" in self.loss_cfgs and getattr(field, "with_flow", False):
+                    fcfg = self.loss_cfgs["flow"]
+                    kk = jax.random.fold_in(k_uniform, 101)
+                    x = field.space.uniform_points(kk, self.uniform_sample_n)
+                    t01 = jax.random.uniform(jax.random.fold_in(kk, 1),
+                                             x.shape[:-1])
+                    res = field.flow_cycle_residual(params[mid], x, t01)
+                    losses["loss_flow"] = jnp.mean(res) * fcfg.get("w", 0.01)
+                if "dynamic_sparsity" in self.loss_cfgs and buf is not None \
+                        and "sigma_dynamic" in buf:
+                    dcfg = self.loss_cfgs["dynamic_sparsity"]
+                    sd = jnp.where(buf["mask"], buf["sigma_dynamic"], 0.0)
+                    losses["loss_dynamic_sparsity"] = \
+                        jnp.mean(jnp.abs(sd)) * dcfg.get("w", 0.01)
+                break
 
         # latent norm regularizer for shared categorical models (reference
         # LatentLoss, app/loss/conditional.py:17)
         if "latent" in self.loss_cfgs:
             cfg = self.loss_cfgs["latent"]
             total_lat = jnp.asarray(0.0)
-            seen = set()
-            for ob in self.renderer.objects:
-                if ob.model_id in seen or not hasattr(ob.field, "latent_norm"):
-                    continue
-                seen.add(ob.model_id)
-                total_lat = total_lat + ob.field.latent_norm(params[ob.model_id])
+            for mid, field in self._fields_by_model().items():
+                if hasattr(field, "latent_norm"):
+                    total_lat = total_lat + field.latent_norm(params[mid])
             losses["loss_latent"] = total_lat * cfg.get("w", 1e-3)
 
         total = sum(losses.values(), jnp.asarray(0.0))
@@ -102,13 +194,40 @@ class MultiObjectTrainer:
         return total, {"losses": losses, "aux": aux}
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-    def train_step(self, state: TrainState, batch, key):
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
+    def train_step(self, state: TrainState, batch, key,
+                   step_type: str = "pixel"):
         def loss_fn(p):
-            return self.compute_losses(p, batch, state.it, key)
+            return self.compute_losses(p, batch, state.it, key, step_type,
+                                       occ=state.occ)
         (total, extras), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
+
+        # EMA occupancy refresh for every accel-equipped model (batched
+        # categorical grids update all instances in one pass)
+        occ = state.occ
+        if occ is not None:
+            k_occ = jax.random.fold_in(key, 7)
+            occ = dict(occ)
+            fields = self._fields_by_model()
+            for mid, accel in self.renderer.accels.items():
+                field = fields.get("cr" if mid == "cr" else mid)
+                if field is None:
+                    field = self.renderer.scene_models["cr"][0]
+                fp = jax.lax.stop_gradient(
+                    params[self.renderer.scene_models["cr"][1]
+                           if mid == "cr" else mid])
+                if getattr(field, "n_instances", 0):
+                    occ[mid] = accel.maybe_update(
+                        occ[mid],
+                        lambda x, b, f=field, p=fp: f.query_sdf(p, x, bidx=b),
+                        k_occ, state.it)
+                else:
+                    occ[mid] = accel.maybe_update(
+                        occ[mid],
+                        lambda x, f=field, p=fp: f.query_sdf(p, x),
+                        k_occ, state.it)
         metrics = {"loss_total": total, **extras["losses"], **extras["aux"]}
-        return TrainState(params, opt_state, state.it + 1, None), metrics
+        return TrainState(params, opt_state, state.it + 1, occ), metrics

@@ -226,6 +226,24 @@ class Trainer:
             losses["loss_ray_vw_entropy"] = ray_vw_entropy_loss(
                 alpha_to_vw(buf["alpha"], buf["mask"]), buf["mask"], it,
                 self.loss_cfgs["ray_vw_entropy"])
+        # EmerNeRF self-supervision (reference emernerf flow/dynamic losses,
+        # app/models/single/dynamic_nerf.py): flow cycle consistency on
+        # uniform space-time samples + dynamic-density sparsity on samples
+        if "flow" in self.loss_cfgs and hasattr(cr, "flow_cycle_residual") \
+                and getattr(cr, "with_flow", False):
+            fcfg = self.loss_cfgs["flow"]
+            kk = jax.random.fold_in(k_uniform, 101)
+            x_f = cr.space.uniform_points(kk, self.uniform_sample_n)
+            t01 = jax.random.uniform(jax.random.fold_in(kk, 1), x_f.shape[:-1])
+            res = cr.flow_cycle_residual(params[self.renderer.pkey("cr")],
+                                         x_f, t01)
+            losses["loss_flow"] = jnp.mean(res) * fcfg.get("w", 0.01)
+        if "dynamic_sparsity" in self.loss_cfgs \
+                and "sigma_dynamic_cr" in rendered:
+            dcfg = self.loss_cfgs["dynamic_sparsity"]
+            losses["loss_dynamic_sparsity"] = \
+                jnp.mean(jnp.abs(rendered["sigma_dynamic_cr"])) \
+                * dcfg.get("w", 0.01)
         if "color_lipschitz" in self.loss_cfgs:
             rad = getattr(cr, "radiance_net", None)
             if rad is not None and hasattr(rad, "lipschitz_bound"):

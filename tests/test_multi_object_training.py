@@ -91,3 +91,68 @@ def test_multi_training_loss_decreases(setup):
     # latents received gradient updates
     z = np.asarray(state.params["Vehicle#synthetic_multi"]["latents"])
     assert np.abs(z - z0).max() > 0
+
+
+def test_multi_lidar_and_patch_steps(setup):
+    """r2 parity: lidar + image_patch step types through the compose
+    renderer (reference code_multi/tools/train.py:240-252)."""
+    ds, scene, bank, renderer, trainer = setup
+    trainer2 = MultiObjectTrainer(
+        scene, renderer,
+        loss_cfgs={"rgb": {"fn_type": "huber", "w": 10.0},
+                   "lidar": {"w": 1.0, "depth": {"w": 1.0},
+                             "line_of_sight": {"w": 0.1}},
+                   "s3im": {"w": 0.1, "patch_height": 4},
+                   "mono_depth": {"w": 0.1}},
+        training_cfgs=bank.training_cfgs(), uniform_sample_n=64)
+    params = bank.init_params(jax.random.PRNGKey(0))
+    state = trainer2.init_state(jax.random.PRNGKey(1), params=params)
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(3)
+
+    # lidar step: reuse pixel rays with synthetic ranges
+    b = ds.sample_pixels(rng, 128)
+    lbatch = {"rays_o": jnp.asarray(b["rays_o"]),
+              "rays_d": jnp.asarray(b["rays_d"]),
+              "rays_fidx": jnp.asarray(b["rays_fidx"]),
+              "ranges": jnp.full((128,), 3.0)}
+    key, sk = jax.random.split(key)
+    state, ml = trainer2.train_step(state, lbatch, sk, "lidar")
+    assert np.isfinite(float(ml["loss_total"]))
+    assert "loss_lidar" in ml
+
+    # image_patch step: [ph, pw] structured batch with a mono-depth cue
+    ph = pw = 8
+    b = ds.sample_pixels(rng, ph * pw)
+    pbatch = {"rays_o": jnp.asarray(b["rays_o"]).reshape(ph, pw, 3),
+              "rays_d": jnp.asarray(b["rays_d"]).reshape(ph, pw, 3),
+              "rays_fidx": jnp.asarray(b["rays_fidx"]).reshape(ph, pw),
+              "image_rgb": jnp.asarray(b["image_rgb"]).reshape(ph, pw, 3),
+              "image_mono_depth": jnp.full((ph, pw), 3.0)}
+    key, sk = jax.random.split(key)
+    state, mp = trainer2.train_step(state, pbatch, sk, "image_patch")
+    assert np.isfinite(float(mp["loss_total"]))
+    assert "loss_s3im" in mp and "loss_mono_depth" in mp
+
+
+def test_compaction_budget_limits_eval_cost(setup):
+    """The hit-budget compaction evaluates each object on B < N rays while
+    preserving the rendered output on hit rays (reference
+    batched_query_shared semantics)."""
+    ds, scene, bank, renderer, trainer = setup
+    params = bank.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    b = ds.sample_pixels(rng, 256)
+    frozen = scene.slice_at(jnp.asarray(b["rays_fidx"]))
+    ro, rd = jnp.asarray(b["rays_o"]), jnp.asarray(b["rays_d"])
+
+    r_full = BufferComposeRenderer(
+        scene, renderer.objects, renderer.scene_models,
+        hit_budget_frac=None).ray_query(params, frozen, ro, rd, key=None)
+    r_half = BufferComposeRenderer(
+        scene, renderer.objects, renderer.scene_models,
+        hit_budget_frac=0.5).ray_query(params, frozen, ro, rd, key=None)
+    # objects cover well under half the image in this scene -> identical
+    np.testing.assert_allclose(np.asarray(r_half["rgb_volume"]),
+                               np.asarray(r_full["rgb_volume"]),
+                               rtol=1e-4, atol=1e-4)
