@@ -175,6 +175,38 @@ def export_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray,
             f.write(struct.pack("<B3i", 3, *faces[i]))
 
 
+def load_mesh_ply(path: str):
+    """Read a binary-little-endian PLY written by export_mesh_ply
+    -> (verts [V,3] f32, faces [F,3] i32)."""
+    import struct
+    with open(path, "rb") as f:
+        V = F = 0
+        props = []
+        while True:
+            line = f.readline().decode().strip()
+            if line.startswith("element vertex"):
+                V = int(line.split()[-1])
+                props = []
+            elif line.startswith("element face"):
+                F = int(line.split()[-1])
+            elif line.startswith("property") and "list" not in line:
+                props.append(line.split()[-1])
+            elif line == "end_header":
+                break
+        has_color = "red" in props
+        verts = np.empty((V, 3), np.float32)
+        for i in range(V):
+            verts[i] = struct.unpack("<3f", f.read(12))
+            if has_color:
+                f.read(3)
+        faces = np.empty((F, 3), np.int32)
+        for i in range(F):
+            n = struct.unpack("<B", f.read(1))[0]
+            idx = struct.unpack(f"<{n}i", f.read(4 * n))
+            faces[i] = idx[:3]
+    return verts, faces
+
+
 def export_pcl_ply(path: str, pts: np.ndarray,
                    colors: Optional[np.ndarray] = None) -> None:
     export_mesh_ply(path, pts, np.zeros((0, 3), np.int64), colors)

@@ -8,7 +8,7 @@ SURVEY.md §2.6, §3.3).
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -45,6 +45,92 @@ def get_path_small_circle(c2w0: np.ndarray, n_frames: int, radius: float = 0.2):
         T[:3, 3] = c2w0[:3, 3] + d
         out.append(T)
     return np.stack(out)
+
+
+def get_path_street_view(c2ws: np.ndarray, n_frames: int, *,
+                         shift_l: float = 2.0, shift_v: float = 1.0,
+                         pitch_deg: float = 10.0):
+    """Street-view NVS path (reference render.py:485-521): follow the
+    recorded trajectory, offset laterally (camera-right) and vertically
+    (camera-up), pitch the view down toward the road."""
+    base = get_path_interpolation(c2ws, n_frames)
+    out = []
+    s, c = np.sin(np.radians(pitch_deg)), np.cos(np.radians(pitch_deg))
+    # OpenCV cam: +x right, +y down, +z forward; pitching DOWN tilts the
+    # forward axis toward +y (the down direction)
+    Rp = np.array([[1, 0, 0], [0, c, s], [0, -s, c]])
+    for T in base:
+        T = T.copy()
+        T[:3, 3] = T[:3, 3] + T[:3, 0] * shift_l - T[:3, 1] * shift_v
+        T[:3, :3] = T[:3, :3] @ Rp
+        out.append(T)
+    return np.asarray(out)
+
+
+def assemble_video(out_dir: str, pattern: str = "rgb_", fps: int = 12,
+                   name: str = "video") -> Optional[str]:
+    """Stitch rendered frames into a video (reference post-render ffmpeg
+    assembly). Uses mp4 when an ffmpeg backend exists, else animated GIF."""
+    from PIL import Image
+    frames = sorted(p for p in os.listdir(out_dir)
+                    if p.startswith(pattern) and p.endswith(".png"))
+    if not frames:
+        return None
+    imgs = [Image.open(os.path.join(out_dir, p)) for p in frames]
+    try:
+        import imageio
+        path = os.path.join(out_dir, f"{name}.mp4")
+        w = imageio.get_writer(path, fps=fps)
+        for im in imgs:
+            w.append_data(np.asarray(im))
+        w.close()
+        return path
+    except Exception:
+        path = os.path.join(out_dir, f"{name}.gif")
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / fps), loop=0)
+        return path
+
+
+def overlay_mesh(rgb: np.ndarray, depth: np.ndarray, verts: np.ndarray,
+                 faces: np.ndarray, intr: np.ndarray, c2w: np.ndarray, *,
+                 alpha: float = 0.5, splat: int = 1) -> np.ndarray:
+    """Blend a shaded mesh visualization over a rendered frame (reference
+    mesh-overlay replay). Vertex splatting with z-test against the rendered
+    depth — the lightweight stand-in for the reference's offscreen
+    rasterizer; faces provide the shading normals."""
+    H, W = rgb.shape[:2]
+    w2c = np.linalg.inv(c2w)
+    vc = verts @ w2c[:3, :3].T + w2c[:3, 3]
+    z = vc[:, 2]
+    front = z > 1e-4
+    uv = (vc[:, :2] / np.clip(z[:, None], 1e-6, None)) @ \
+        np.asarray(intr)[:2, :2].T + np.asarray(intr)[:2, 2]
+    xs = np.round(uv[:, 0]).astype(int)
+    ys = np.round(uv[:, 1]).astype(int)
+    ok = front & (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    # per-vertex normals from face normals
+    fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                  verts[faces[:, 2]] - verts[faces[:, 0]])
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    vn /= np.clip(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-9, None)
+    shade = 0.3 + 0.7 * np.clip(vn[:, 2] * -0.5 + vn[:, 1] * -0.5 + 0.5, 0, 1)
+    color = np.stack([0.2 * shade, 0.9 * shade, 0.4 * shade], -1)
+
+    out = rgb.copy()
+    zbuf = depth.copy() if depth is not None else np.full((H, W), np.inf)
+    order = np.argsort(-z[ok])      # far-to-near painter within the splat
+    xs, ys, zs = xs[ok][order], ys[ok][order], z[ok][order]
+    cs = color[ok][order]
+    vis = zs <= zbuf[ys, xs] * 1.02 + 0.05
+    for dy in range(-splat, splat + 1):
+        for dx in range(-splat, splat + 1):
+            yy = np.clip(ys[vis] + dy, 0, H - 1)
+            xx = np.clip(xs[vis] + dx, 0, W - 1)
+            out[yy, xx] = (1 - alpha) * out[yy, xx] + alpha * cs[vis]
+    return out
 
 
 def get_path_interpolation(c2ws: np.ndarray, n_frames: int):
@@ -145,6 +231,11 @@ def main_function(cfg) -> Dict:
 
     if mode == "replay":
         fis = frames or list(range(scene.n_frames))
+        mesh = None
+        if rcfg.get("mesh_overlay"):
+            from ..graphics.marching import load_mesh_ply
+            mesh = load_mesh_ply(rcfg["mesh_overlay"])
+        intr_s = None
         for fi in fis:
             fr = scene.slice_at(fi)
             if hasattr(renderer, "set_frame"):
@@ -152,11 +243,25 @@ def main_function(cfg) -> Dict:
             ro, rd = camera_get_selected_rays(fr, cam_id, pixel_grid())
             r = render_frame_rays(ro, rd)
             rgb = np.asarray(r["rgb_volume"]).reshape(Hs, Ws, 3)
+            depth_raw = np.asarray(r["depth_volume"]).reshape(Hs, Ws)
+            if mesh is not None:
+                if intr_s is None:
+                    intr_s = np.asarray(
+                        fr.data(cam_id)["intr"], np.float64).copy()
+                    intr_s[:2] /= downscale
+                c2w = np.asarray(fr.world_transform(cam_id))
+                rgb = overlay_mesh(rgb, depth_raw, mesh[0], mesh[1],
+                                   intr_s, c2w,
+                                   alpha=float(rcfg.get("mesh_alpha", 0.5)))
             _write_png(os.path.join(out_dir, f"rgb_{fi:04d}.png"),
                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
-            depth = color_depth(np.asarray(r["depth_volume"]).reshape(Hs, Ws))
+            depth = color_depth(depth_raw)
             _write_png(os.path.join(out_dir, f"depth_{fi:04d}.png"),
                        (depth * 255).astype(np.uint8))
+        if rcfg.get("video", True):
+            v = assemble_video(out_dir, "rgb_", int(rcfg.get("fps", 12)))
+            if v:
+                print(f"video -> {v}")
         print(f"replay: {len(fis)} frames -> {out_dir}")
 
     elif mode == "nvs":
@@ -171,6 +276,17 @@ def main_function(cfg) -> Dict:
         elif path_type == "small_circle":
             poses = get_path_small_circle(c2ws[0], n,
                                           float(rcfg.get("radius", 0.2)))
+        elif path_type == "street_view":
+            # world camera poses along the whole trajectory (children ride
+            # their parent ego node), offset + pitched toward the road
+            # (reference render.py:485-521)
+            world_c2ws = np.stack(
+                [np.asarray(scene.slice_at(fi).world_transform(cam_id))
+                 for fi in range(scene.n_frames)])
+            poses = get_path_street_view(
+                world_c2ws, n, shift_l=float(rcfg.get("shift_l", 2.0)),
+                shift_v=float(rcfg.get("shift_v", 1.0)),
+                pitch_deg=float(rcfg.get("pitch_deg", 10.0)))
         else:
             poses = get_path_interpolation(c2ws, n)
         intr = jnp.asarray(np.asarray(node.frame_data["intr"])[0])
@@ -181,6 +297,10 @@ def main_function(cfg) -> Dict:
             rgb = np.asarray(r["rgb_volume"]).reshape(Hs, Ws, 3)
             _write_png(os.path.join(out_dir, f"rgb_{i:04d}.png"),
                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        if rcfg.get("video", True):
+            v = assemble_video(out_dir, "rgb_", int(rcfg.get("fps", 12)))
+            if v:
+                print(f"video -> {v}")
         print(f"nvs[{path_type}]: {n} frames -> {out_dir}")
 
     elif mode == "lidar":
