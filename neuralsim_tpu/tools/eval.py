@@ -80,6 +80,8 @@ def main_function(cfg) -> Dict[str, Any]:
     frames = ecfg.get("frames")
     if isinstance(frames, str):
         frames = [int(x) for x in frames.split(",")]
+    elif isinstance(frames, int):
+        frames = [frames]   # "--eval.frames=0" parses as a bare int
     if frames is None:
         frames = list(range(0, scene.n_frames, max(scene.n_frames // 8, 1)))
     out = evaluate(scene, renderer, params, loader,

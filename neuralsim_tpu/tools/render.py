@@ -228,6 +228,8 @@ def main_function(cfg) -> Dict:
     frames = rcfg.get("frames")
     if isinstance(frames, str):
         frames = [int(x) for x in frames.split(",")]
+    elif isinstance(frames, int):
+        frames = [frames]   # "--render.frames=0" parses as a bare int
 
     if mode == "replay":
         fis = frames or list(range(scene.n_frames))

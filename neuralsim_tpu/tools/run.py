@@ -20,6 +20,7 @@ _TASKS = {
     "visualize_slice": "neuralsim_tpu.tools.visualize_slice",
     "demo_category": "neuralsim_tpu.tools.demo_category",
     "inspect_rendering": "neuralsim_tpu.tools.inspect_rendering",
+    "preprocess_waymo": "neuralsim_tpu.tools.preprocess_waymo",
 }
 
 

@@ -180,6 +180,9 @@ def main_function(cfg) -> Dict[str, Any]:
     exp_dir = cfg.get("exp_dir", os.path.join("logs", "exp"))
     os.makedirs(exp_dir, exist_ok=True)
     save_config(cfg, os.path.join(exp_dir, "config.yaml"))
+    if cfg.get("backup_codebase", True):
+        from ..utils.misc import backup_codebase
+        backup_codebase(exp_dir)
     logger = Logger(exp_dir)
     ckpt = CheckpointIO(os.path.join(exp_dir, "ckpts"),
                         i_save_seconds=tcfg.get("i_save", 900),

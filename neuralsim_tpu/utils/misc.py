@@ -105,3 +105,22 @@ def tensor_statistics(x, prefix: str = "") -> Dict[str, float]:
         f"{prefix}max": float(x.max()),
         f"{prefix}absmax": float(np.abs(x).max()),
     }
+
+
+def backup_codebase(exp_dir: str) -> str:
+    """Zip the neuralsim_tpu package source into <exp_dir>/backup.zip so an
+    experiment records the exact code it ran (reference code self-backup,
+    code_single/tools/train.py:1230-1234)."""
+    import os
+    import zipfile
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(exp_dir, "backup.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, dirnames, filenames in os.walk(pkg_root):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full,
+                                                  os.path.dirname(pkg_root)))
+    return out

@@ -145,3 +145,23 @@ def test_main_cli_args(tmp_path):
     assert np.isfinite(out["psnr"])
     assert os.path.isfile(os.path.join(out["exp_dir"], "config.yaml"))
     assert os.path.isdir(os.path.join(out["exp_dir"], "ckpts", "final"))
+
+
+def test_run_directory_batch(tmp_path):
+    """Directory batch runner: eval every experiment dir under a root
+    (reference eval_directory.py)."""
+    from neuralsim_tpu.tools.run_directory import main as rd_main
+    # two tiny experiments
+    for name in ("a", "b"):
+        cfg = _tiny_cfg(tmp_path / name)
+        cfg["exp_dir"] = str(tmp_path / "batch" / name)
+        cfg["training"]["num_iters"] = 2
+        main_function(cfg)
+        assert os.path.isfile(os.path.join(cfg["exp_dir"], "backup.zip"))
+    rc = rd_main(["--root", str(tmp_path / "batch"), "--tasks", "eval",
+                  "--platform=cpu", "--eval.frames=0",
+                  "--eval.downscale=8"])
+    assert rc == 0
+    for name in ("a", "b"):
+        assert os.path.isfile(os.path.join(tmp_path / "batch", name,
+                                           "eval", "metrics.json"))
