@@ -47,7 +47,8 @@ def volume_integrate(buf: Dict[str, Any], *, depth_use_normalized_vw: bool = Tru
 def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
                         payload_keys: Optional[Sequence[str]] = None,
                         depth_use_normalized_vw: bool = True,
-                        with_per_src: bool = False) -> Dict[str, Any]:
+                        with_per_src: bool = False,
+                        assume_sorted: bool = False) -> Dict[str, Any]:
     """Merge K model buffers by per-ray depth sort, composite once, and
     (optionally) decompose each source's contribution inside the total.
 
@@ -55,6 +56,13 @@ def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
     ``packed_sort`` + single alpha-composite + ``vw_in_total`` decomposition
     (buffer_compose_renderer.py:649-806; merge_two_packs_sorted,
     single_volume_renderer.py:337-407).
+
+    ``assume_sorted``: the buffers are depth-DISJOINT in order (every valid
+    sample of buffer k precedes buffer k+1's — e.g. cr then distant, where
+    distant's near is cr's far). Then plain concatenation is already
+    depth-ordered over valid lanes (invalid lanes have alpha 0 and are
+    transparent to the transmittance cumprod), and the per-ray sorts are
+    skipped entirely.
     """
     if payload_keys is None:
         payload_keys = [k for k in ("alpha", "rgb", "nablas", "feat")
@@ -62,6 +70,16 @@ def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
     if len(buffers) == 1:
         merged = dict(buffers[0])
         merged["src"] = jnp.zeros_like(merged["t"], dtype=jnp.int32)
+    elif assume_sorted:
+        merged = {"t": jnp.concatenate([b["t"] for b in buffers], -1),
+                  "mask": jnp.concatenate([b["mask"] for b in buffers], -1)}
+        for k in payload_keys:
+            parts = [b[k] for b in buffers]
+            axis = -1 if parts[0].ndim == merged["t"].ndim else -2
+            merged[k] = jnp.concatenate(parts, axis=axis)
+        merged["src"] = jnp.concatenate(
+            [jnp.full(b["t"].shape, i, jnp.int32)
+             for i, b in enumerate(buffers)], -1)
     else:
         merged = merge_sorted_buffers(buffers, payload_keys=payload_keys)
     out = volume_integrate(merged, depth_use_normalized_vw=depth_use_normalized_vw)

@@ -107,9 +107,11 @@ class SingleVolumeRenderer:
                                   h_appear=h_appear, **self.distant_query_cfg)
             buffers.append(buf_dv)
 
+        # cr samples end where distant's begin (dv_near = cr_far), so the
+        # concatenation is already depth-ordered — skip the per-ray sorts
         rendered = merge_and_integrate(
             buffers, depth_use_normalized_vw=self.depth_use_normalized_vw,
-            with_per_src=use_distant)
+            with_per_src=use_distant, assume_sorted=True)
         if use_distant:
             rendered["rendered_cr"] = rendered["per_src"][0]
             rendered["rendered_dv"] = rendered["per_src"][1]

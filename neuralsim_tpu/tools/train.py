@@ -75,6 +75,7 @@ def build_everything(cfg):
     # LearnableParams / ImageEmbeddings assets so the jitted step consumes
     # them (reference train.py: scene.load_assets wiring; VERDICT r1 item 3)
     from ..models.assets import ImageEmbeddings, LearnableParams
+    from ..models.misc_assets import ColorTransform
     pose_model_id, pose_enable_after, embed_model = None, 0, None
     for mid, asset in bank.assets.items():
         if isinstance(asset, LearnableParams):
@@ -82,6 +83,10 @@ def build_everything(cfg):
             pose_enable_after = asset.enable_after
         elif isinstance(asset, ImageEmbeddings):
             embed_model = (asset, mid)
+        elif isinstance(asset, ColorTransform):
+            # per-frame learned color transform applied to composited rgb
+            # (reference image_postprocessor, single_volume_renderer.py:462)
+            renderer.set_postprocessor(asset, mid)
 
     tcfg = cfg.get("training", {})
     trainer = Trainer(renderer,

@@ -139,6 +139,11 @@ class Trainer:
             with_rgb=with_rgb, return_buffer=True, occ_states=occ,
             h_appear=h_appear, only_cr=(step_type == "lidar"))
         buf = rendered.get("merged_buffer")
+        if with_rgb and getattr(self.renderer, "postprocessor", None) \
+                is not None and "rays_fidx" in batch:
+            rendered = dict(rendered)
+            rendered["rgb_volume"] = self.renderer.apply_postprocess(
+                params, rendered["rgb_volume"], batch["rays_fidx"])
 
         if step_type == "pixel":
             if "rgb" in self.loss_cfgs:

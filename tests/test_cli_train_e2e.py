@@ -100,6 +100,11 @@ def test_main_function_full_wiring(tmp_path):
         "model_params": {"dim": 4},
         "asset_params": {"training_cfg": {"lr": 0.001}},
     }
+    cfg["assetbank_cfg"]["Color"] = {
+        "model_class": "neuralsim_tpu.models.misc_assets.ColorTransform",
+        "model_params": {},
+        "asset_params": {"training_cfg": {"lr": 0.001}},
+    }
     # appearance embedding consumed by the cr radiance net
     cfg["assetbank_cfg"]["Main"]["model_params"]["appear_embed_dim"] = 4
 
@@ -128,6 +133,9 @@ def test_main_function_full_wiring(tmp_path):
     emb_mid = next(m for m in params if m.startswith("Embed"))
     gn = [v for k, v in tags.items() if k == f"gradnorm/{emb_mid}"]
     assert gn and gn[0] > 0.0, "appearance embeddings got no gradient"
+    col_mid = next(m for m in params if m.startswith("Color"))
+    gn = [v for k, v in tags.items() if k == f"gradnorm/{col_mid}"]
+    assert gn and gn[0] > 0.0, "color transform got no gradient"
 
 
 def test_main_cli_args(tmp_path):

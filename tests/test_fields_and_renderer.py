@@ -198,3 +198,38 @@ def test_renderer_chunked_equals_direct(sphere_field):
     chunked = renderer.render_chunked(params, rays_o, rays_d, rayschunk=4, key=None)
     np.testing.assert_allclose(np.asarray(direct["depth_volume"]),
                                np.asarray(chunked["depth_volume"]), rtol=1e-5)
+
+
+def test_sorted_vs_unsorted_merge_parity():
+    """The assume_sorted fast path must integrate exactly like the sorted
+    merge for depth-disjoint cr+distant buffers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neuralsim_tpu.renderers.buffers import merge_and_integrate
+
+    key = jax.random.PRNGKey(0)
+    N, S1, S2 = 16, 12, 8
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    t1 = jnp.sort(jax.random.uniform(k1, (N, S1), minval=0.1, maxval=1.0), -1)
+    t2 = jnp.sort(jax.random.uniform(k2, (N, S2), minval=1.0, maxval=5.0), -1)
+    m1 = jax.random.uniform(k3, (N, S1)) > 0.3
+    m2 = jnp.ones((N, S2), bool)
+    b1 = {"t": t1, "mask": m1,
+          "alpha": jax.random.uniform(k3, (N, S1)) * 0.5,
+          "rgb": jax.random.uniform(k4, (N, S1, 3))}
+    b2 = {"t": t2, "mask": m2,
+          "alpha": jax.random.uniform(k4, (N, S2)) * 0.5,
+          "rgb": jax.random.uniform(k1, (N, S2, 3))}
+    r_sorted = merge_and_integrate([b1, b2], with_per_src=True)
+    r_fast = merge_and_integrate([b1, b2], with_per_src=True,
+                                 assume_sorted=True)
+    for k in ("rgb_volume", "depth_volume", "mask_volume"):
+        np.testing.assert_allclose(np.asarray(r_fast[k]),
+                                   np.asarray(r_sorted[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(r_fast["per_src"][i]["rgb_volume"]),
+            np.asarray(r_sorted["per_src"][i]["rgb_volume"]),
+            rtol=1e-5, atol=1e-6)
