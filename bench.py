@@ -53,15 +53,20 @@ def main():
         ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500,
         remat=_os.environ.get("BENCH_REMAT", "1") == "1",
         eval_chunk=int(_os.environ.get("BENCH_CHUNK", "2000000")))
+    if "BENCH_FINE" in _os.environ:
+        fine = tuple(int(x) for x in _os.environ["BENCH_FINE"].split(",") if x)
+    else:
+        fine = (8, 8) if _os.environ.get("BENCH_OCC", "1") == "1" else (16, 16)
+    fine_factors = tuple(1.0 * 4.0 ** i for i in range(len(fine))) or (1.0,)
     renderer = SingleVolumeRenderer(
         {"cr": field,
          "distant": NeRFDistantField(inner_radius=1.0, geometry="mlp",
                                      geo_feat_dim=8, radiance_hidden=32),
          "sky": SimpleSky(hidden=32)},
         query_cfg={"num_coarse": int(_os.environ.get("BENCH_COARSE", "16")),
-                   "num_fine": (8, 8) if _os.environ.get("BENCH_OCC", "1") == "1"
-                   else (16, 16),
-                   "upsample_inv_s": 64.0, "upsample_inv_s_factors": (1.0, 4.0)},
+                   "num_fine": fine,
+                   "upsample_inv_s": 64.0,
+                   "upsample_inv_s_factors": fine_factors},
         distant_query_cfg={"num_samples": 32})
     # steady-state occupancy culling: converge the EMA grid against the
     # dataset's analytic SDF so the bench measures the post-warmup regime
@@ -72,7 +77,8 @@ def main():
     accels = {}
     if use_occ:
         accel = OccGridEma(space, resolution=128, n_warmup_steps=0,
-                           occ_inv_s=64.0)
+                           occ_inv_s=64.0,
+                           march_steps=int(_os.environ.get("BENCH_MARCH", "48")))
         occ_state = accel.init_state()
         for i in range(40):
             # host-side convergence against the analytic SDF

@@ -8,9 +8,9 @@ withmask_withlidar_joint.240219.yaml:196-214 and App. D.4).
 
 TPU translation (SURVEY.md §7): the CUDA grid-skipping marcher that emits
 variable samples/ray becomes a two-phase static-shape proposal:
-  1. oversample candidate depths uniformly in [near, far],
-  2. mask candidates by grid occupancy and *compact* the survivors to the
-     front of the sample axis with one per-ray sort, keeping a fixed budget.
+  1. probe ``march_steps`` fixed equidistant segments of [near, far],
+  2. inverse-transform-sample the full budget from the per-segment
+     occupancy CDF — every sample lands in occupied space.
 Grid state is an explicit pytree member of the training state (donated and
 updated under the step cadence), not a hidden module buffer.
 """
@@ -40,7 +40,8 @@ class OccGridEma:
     def __init__(self, space, resolution: int = 64, *, occ_thre: float = 0.3,
                  ema_decay: float = 0.95, occ_val_fn: str = "sdf",
                  occ_inv_s: float = 256.0, n_steps_between_update: int = 16,
-                 n_warmup_steps: int = 256, init_occupied: bool = True):
+                 n_warmup_steps: int = 256, init_occupied: bool = True,
+                 march_steps: int = 64):
         self.space = space
         self.res = resolution
         self.occ_thre = occ_thre
@@ -50,6 +51,9 @@ class OccGridEma:
         self.n_steps_between_update = n_steps_between_update
         self.n_warmup_steps = n_warmup_steps
         self.init_occupied = init_occupied
+        # probe count of the fixed-step proposal march (the step_size /
+        # max_steps knob): step = (far-near)/march_steps
+        self.march_steps = march_steps
 
     # -- state ---------------------------------------------------------------
     def init_state(self) -> OccGridState:
@@ -111,7 +115,8 @@ class OccGridEma:
     def ray_proposal(self, state: OccGridState, rays_o: jnp.ndarray,
                      rays_d: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
                      n_samples: int, key: Optional[jax.Array] = None,
-                     march_steps: int = 96) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     march_steps: Optional[int] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Grid-marched occupancy-concentrated depth proposal.
 
         The TPU formulation of the reference's DDA grid-skipping marcher
@@ -136,7 +141,7 @@ class OccGridEma:
         """
         from ..ops.segment import sample_pdf
         N = rays_o.shape[0]
-        M = march_steps
+        M = march_steps or self.march_steps
         # probe segment midpoints
         edges01 = jnp.linspace(0.0, 1.0, M + 1)
         t_edges = near[:, None] + (far - near)[:, None] * edges01      # [N, M+1]
@@ -204,13 +209,13 @@ class OccGridEmaBatched(OccGridEma):
                              rays_d: jnp.ndarray, near: jnp.ndarray,
                              far: jnp.ndarray, n_samples: int,
                              bidx: jnp.ndarray, key: Optional[jax.Array] = None,
-                             march_steps: int = 96
+                             march_steps: Optional[int] = None
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Per-instance grid-marched proposal: same fixed-step occupancy-CDF
         march as the base class, reading each ray's own instance grid
         (reference occ_grid_batched_ema marcher)."""
         from ..ops.segment import sample_pdf
-        M = march_steps
+        M = march_steps or self.march_steps
         edges01 = jnp.linspace(0.0, 1.0, M + 1)
         t_edges = near[:, None] + (far - near)[:, None] * edges01
         t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
@@ -223,3 +228,76 @@ class OccGridEmaBatched(OccGridEma):
                        eps=1e-6)
         t = jnp.sort(t, axis=-1)
         return t, jnp.ones_like(t, dtype=bool)
+
+
+class OccGridEmaDynamic(OccGridEma):
+    """Time-conditioned occupancy: one EMA grid per time keyframe
+    ([K, R, R, R]) for dynamic fields (reference occ_grid_dynamic_ema /
+    OccGridAccelDynamic — the r1 gap 'time axis not in grid'). Queries pick
+    the nearest keyframe of the normalized time in [0, 1]."""
+
+    def __init__(self, space, resolution: int = 32, *, n_keyframes: int = 8,
+                 **kw):
+        super().__init__(space, resolution, **kw)
+        self.n_keyframes = n_keyframes
+
+    def init_state(self) -> OccGridState:
+        v = (jnp.ones if self.init_occupied else jnp.zeros)(
+            (self.n_keyframes,) + (self.res,) * 3)
+        return OccGridState(val=v, mask=v > self.occ_thre)
+
+    def _kf(self, t01: jnp.ndarray) -> jnp.ndarray:
+        return jnp.clip((t01 * self.n_keyframes).astype(jnp.int32),
+                        0, self.n_keyframes - 1)
+
+    def update(self, state: OccGridState, query_fn: Callable, key, it
+               ) -> OccGridState:
+        """query_fn(x, t01) -> sdf/density at points for normalized time."""
+        R, K = self.res, self.n_keyframes
+        idx = jnp.stack(jnp.meshgrid(*([jnp.arange(R)] * 3), indexing="ij"), -1)
+        u = jax.random.uniform(key, (K,) + idx.shape)
+        x01 = (idx[None] + u) / R
+        x = self.space.unnormalize_coords(x01.reshape(K, -1, 3))
+        t01 = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+        t = jnp.broadcast_to(t01[:, None], x.shape[:2])
+        out = query_fn(x.reshape(-1, 3), t.reshape(-1))
+        if self.occ_val_fn == "sdf":
+            val = normalized_logistic_density(out, self.occ_inv_s)
+        else:
+            dt = (self.space.aabb_max - self.space.aabb_min).max() / self.res
+            val = 1.0 - jnp.exp(-out * dt)
+        val = jax.lax.stop_gradient(val).reshape(K, R, R, R)
+        new_val = jnp.maximum(state.val * self.ema_decay, val)
+        warm = jnp.asarray(it) < self.n_warmup_steps
+        new_val = jnp.where(warm, jnp.maximum(new_val, self.occ_thre + 1e-3),
+                            new_val)
+        return OccGridState(val=new_val, mask=new_val > self.occ_thre)
+
+    def occupancy_at(self, state: OccGridState, x: jnp.ndarray,
+                     t01: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x01 = self.space.normalize_coords(x)
+        inside = jnp.all((x01 >= 0) & (x01 <= 1), axis=-1)
+        cell = jnp.clip((x01 * self.res).astype(jnp.int32), 0, self.res - 1)
+        kf = (jnp.zeros(x.shape[:-1], jnp.int32) if t01 is None
+              else self._kf(jnp.broadcast_to(t01, x.shape[:-1])))
+        occ = state.mask[kf, cell[..., 0], cell[..., 1], cell[..., 2]]
+        return occ & inside
+
+    def ray_proposal_dynamic(self, state: OccGridState, rays_o, rays_d,
+                             near, far, n_samples: int, t01: jnp.ndarray,
+                             key: Optional[jax.Array] = None,
+                             march_steps: Optional[int] = None):
+        """Per-ray-time grid-marched proposal (t01: [N] normalized times)."""
+        from ..ops.segment import sample_pdf
+        M = march_steps or self.march_steps
+        edges01 = jnp.linspace(0.0, 1.0, M + 1)
+        t_edges = near[:, None] + (far - near)[:, None] * edges01
+        t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
+        x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+        occ = self.occupancy_at(state, x, t01=t01[:, None])
+        hit_any = jnp.any(occ, axis=-1, keepdims=True)
+        w = occ.astype(jnp.float32) + (~hit_any) * 1.0
+        t = sample_pdf(t_edges, w, n_samples, key=key, det=key is None,
+                       eps=1e-6)
+        return jnp.sort(t, axis=-1), jnp.ones((rays_o.shape[0], n_samples),
+                                              bool)

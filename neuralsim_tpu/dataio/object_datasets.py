@@ -359,3 +359,67 @@ class COLMAPDataset(SceneDataset):
 
     def get_image(self, scene_id, cam_id, frame_index) -> np.ndarray:
         return load_rgb(self.image_paths[frame_index])
+
+
+# ---------------------------------------------------------------------------
+# NeRF-synthetic (Blender) format
+# ---------------------------------------------------------------------------
+
+# Blender/OpenGL camera (x right, y up, z back) -> OpenCV (x right, y down,
+# z forward): negate the y and z basis columns.
+_BLENDER_TO_OPENCV = np.diag([1.0, -1.0, -1.0])
+
+
+class BlenderDataset(SceneDataset):
+    """NeRF-synthetic scenes (reference dataio/nerf):
+    ``<root>/transforms_<split>.json`` + ``<root>/<file_path>.png``.
+    White-background RGBA images; alpha doubles as the occupancy mask."""
+
+    main_class = "Main"
+
+    def __init__(self, root: str, *, split: str = "train",
+                 scene_id: Optional[str] = None, **_):
+        import json
+        self.root = root
+        self._scene_id = scene_id or os.path.basename(os.path.normpath(root))
+        with open(os.path.join(root, f"transforms_{split}.json")) as f:
+            meta = json.load(f)
+        self.frames_meta = meta["frames"]
+        n = len(self.frames_meta)
+        self.c2ws = np.zeros((n, 4, 4), np.float32)
+        for i, fr in enumerate(self.frames_meta):
+            T = np.asarray(fr["transform_matrix"], np.float64)
+            T[:3, :3] = T[:3, :3] @ _BLENDER_TO_OPENCV
+            self.c2ws[i] = T
+        img0 = self._load_rgba(0)
+        self.H, self.W = img0.shape[:2]
+        f = 0.5 * self.W / np.tan(0.5 * float(meta["camera_angle_x"]))
+        self.intr = np.array([[f, 0, self.W / 2], [0, f, self.H / 2],
+                              [0, 0, 1]], np.float32)
+
+    def _img_path(self, i: int) -> str:
+        p = os.path.join(self.root, self.frames_meta[i]["file_path"])
+        return p if os.path.splitext(p)[1] else p + ".png"
+
+    def _load_rgba(self, i: int) -> np.ndarray:
+        from PIL import Image
+        return np.asarray(Image.open(self._img_path(i)).convert("RGBA"),
+                          np.float32) / 255.0
+
+    def scene_ids(self) -> List[str]:
+        return [self._scene_id]
+
+    def get_scenario(self, scene_id: str = None, **kw) -> Dict[str, Any]:
+        n = len(self.frames_meta)
+        hws = np.tile(np.array([self.H, self.W]), (n, 1))
+        intrs = np.tile(self.intr, (n, 1, 1))
+        return _single_object_scenario(self._scene_id, n, self.c2ws, intrs,
+                                       hws, main_class=self.main_class)
+
+    def get_image(self, scene_id, cam_id, frame_index) -> np.ndarray:
+        rgba = self._load_rgba(frame_index)
+        # composite onto white (the NeRF-synthetic convention)
+        return rgba[..., :3] * rgba[..., 3:] + (1.0 - rgba[..., 3:])
+
+    def get_occupancy_mask(self, scene_id, cam_id, frame_index):
+        return (self._load_rgba(frame_index)[..., 3] > 0.5).astype(np.float32)

@@ -101,3 +101,38 @@ class VisibleGrid:
         np.savez_compressed(path, occ_corners=coords,
                             sidelength=np.array([self.res] * 3, np.int32),
                             aabb_min=self.aabb_min, aabb_max=self.aabb_max)
+
+    def erode(self, iterations: int = 1):
+        from scipy.ndimage import binary_erosion
+        self.grid = binary_erosion(self.grid, iterations=iterations)
+
+    def pyramid(self) -> list:
+        """Occupancy mip pyramid (coarse->fine): the dense analog of the
+        reference's octree accel over the visible grid
+        (app/visible_grid.py:299) — level l voxel is occupied iff any child
+        is. Level 0 is 1^3; the last level is the full grid."""
+        levels = [self.grid]
+        g = self.grid
+        while g.shape[0] > 1:
+            r = g.shape[0] // 2
+            g = g.reshape(r, 2, r, 2, r, 2).any((1, 3, 5))
+            levels.append(g)
+        return levels[::-1]
+
+    def carve_frustum(self, intr: np.ndarray, c2w: np.ndarray,
+                      hw, near: float = 0.0, far: float = np.inf):
+        """Keep only voxels inside one camera frustum (logical AND over calls
+        carves to the multi-view visible hull — the reference's
+        frustum-culling pass)."""
+        H, W = hw
+        idx = np.stack(np.meshgrid(*([np.arange(self.res)] * 3),
+                                   indexing="ij"), -1) + 0.5
+        x = self.aabb_min + idx / self.res * (self.aabb_max - self.aabb_min)
+        w2c = np.linalg.inv(c2w)
+        xc = x.reshape(-1, 3) @ w2c[:3, :3].T + w2c[:3, 3]
+        z = xc[:, 2]
+        uv = (xc[:, :2] / np.clip(z[:, None], 1e-9, None)) @ \
+            np.asarray(intr)[:2, :2].T + np.asarray(intr)[:2, 2]
+        ok = ((z > near) & (z < far) & (uv[:, 0] >= 0) & (uv[:, 0] < W)
+              & (uv[:, 1] >= 0) & (uv[:, 1] < H))
+        self.grid &= ok.reshape(self.grid.shape)

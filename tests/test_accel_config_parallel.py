@@ -213,3 +213,38 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     lowered = jax.jit(fn).lower(*args)  # compile-check without running heavy
     assert lowered is not None
+
+
+def test_occ_grid_dynamic_time_axis():
+    """Dynamic occ grid: per-keyframe occupancy tracks a moving sphere
+    (the r1 gap 'time axis not in grid')."""
+    from neuralsim_tpu.accel import OccGridEmaDynamic
+    space = AABBSpace((-1, -1, -1), (1, 1, 1))
+    grid = OccGridEmaDynamic(space, resolution=16, n_keyframes=4,
+                             n_warmup_steps=0, occ_inv_s=32.0)
+    state = grid.init_state()
+
+    def sdf_t(x, t01):
+        # sphere center moves from x=-0.5 (t=0) to x=+0.5 (t=1)
+        c = jnp.stack([t01 - 0.5, jnp.zeros_like(t01),
+                       jnp.zeros_like(t01)], -1)
+        return jnp.linalg.norm(x - c, axis=-1) - 0.3
+
+    for i in range(30):
+        state = grid.update(state, sdf_t, jax.random.PRNGKey(i), it=100)
+    # the occ value peaks near the SURFACE; keyframe 0 samples t01=0.125
+    # (center x=-0.375), keyframe 3 samples t01=0.875 (center x=+0.375)
+    surf_l = jnp.array([[-0.375 + 0.3, 0.0, 0.0]])   # kf0 sphere surface
+    surf_r = jnp.array([[0.375 + 0.3, 0.0, 0.0]])    # kf3 sphere surface
+    assert bool(grid.occupancy_at(state, surf_l, t01=jnp.array([0.05]))[0])
+    assert not bool(grid.occupancy_at(state, surf_r, t01=jnp.array([0.05]))[0])
+    assert bool(grid.occupancy_at(state, surf_r, t01=jnp.array([0.95]))[0])
+    # time-conditioned march concentrates on the right place per time
+    ro = jnp.array([[0.0, -2.0, 0.0]] * 2)
+    rd = jnp.array([[0.0, 1.0, 0.0]] * 2)
+    near, far, _ = space.ray_test(ro, rd)
+    t, valid = grid.ray_proposal_dynamic(state, ro, rd, near, far, 16,
+                                         t01=jnp.array([0.05, 0.95]),
+                                         key=jax.random.PRNGKey(0))
+    assert t.shape == (2, 16)
+    assert bool(jnp.all(jnp.diff(t, axis=-1) >= -1e-6))

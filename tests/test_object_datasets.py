@@ -170,3 +170,34 @@ def test_train_on_dtu_format_dir(idr_dir):
     }
     out = main_function(cfg)
     assert np.isfinite(out["psnr"])
+
+
+def test_blender_dataset(tmp_path):
+    import json
+    ds = SyntheticObjectDataset(n_frames=2, H=24, W=24)
+    frames = []
+    os.makedirs(tmp_path / "train")
+    for i in range(2):
+        fr = ds.render_frame(i)
+        rgba = np.concatenate([fr["image_rgb"],
+                               fr["image_occupancy_mask"][..., None]], -1)
+        from PIL import Image
+        Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+            tmp_path / "train" / f"r_{i}.png")
+        T = ds.c2ws[i].copy()
+        T[:3, :3] = T[:3, :3] @ np.diag([1.0, -1.0, -1.0])  # opencv->blender
+        frames.append({"file_path": f"train/r_{i}",
+                       "transform_matrix": T.tolist()})
+    fx = ds.intr[0, 0]
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump({"camera_angle_x": float(2 * np.arctan(0.5 * 24 / fx)),
+                   "frames": frames}, f)
+    from neuralsim_tpu.dataio.object_datasets import BlenderDataset
+    d = BlenderDataset(str(tmp_path))
+    np.testing.assert_allclose(d.c2ws, ds.c2ws[:2], rtol=1e-5, atol=1e-5)
+    assert abs(d.intr[0, 0] - fx) < 0.5
+    img = d.get_image(None, "camera_0", 0)
+    m = d.get_occupancy_mask(None, "camera_0", 0)
+    assert img.shape == (24, 24, 3) and m.shape == (24, 24)
+    # background composited to white where alpha=0
+    assert float(img[m < 0.5].min()) > 0.99
