@@ -27,7 +27,9 @@ class SceneDataLoader:
 
     def __init__(self, scene: Scene, dataset: SceneDataset, *,
                  preload: bool = True, with_mask: bool = True,
-                 with_lidar: bool = False, downscale: float = 1.0):
+                 with_lidar: bool = False, downscale: float = 1.0,
+                 filter_lidar_in_cams: bool = False,
+                 filter_lidar_max_range: float = 0.0):
         self.scene = scene
         self.dataset = dataset
         self.cam_ids = [oid for oid in scene.observer_ids()
@@ -37,6 +39,8 @@ class SceneDataLoader:
         self.n_frames = scene.n_frames
         self.with_mask = with_mask
         self.with_lidar = with_lidar
+        self.filter_lidar_in_cams = filter_lidar_in_cams
+        self.filter_lidar_max_range = filter_lidar_max_range
         self.images: Dict[Tuple[str, int], np.ndarray] = {}
         self.masks: Dict[Tuple[str, int], np.ndarray] = {}
         self.lidars: Dict[Tuple[str, int], Dict[str, np.ndarray]] = {}
@@ -56,7 +60,38 @@ class SceneDataLoader:
                 for fi in range(self.n_frames):
                     ld = self.dataset.get_lidar(self.scene.id, lid, fi)
                     if ld is not None:
+                        ld = self._filter_lidar(lid, fi, ld)
                         self.lidars[(lid, fi)] = ld
+
+    def _filter_lidar(self, lid: str, fi: int,
+                      ld: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Beam filters (reference base_loader.py:654-753): optional max
+        range + keep only beams whose hit points project into at least one
+        camera viewport (``filter_in_cams``)."""
+        keep = ld["ranges"] > 0
+        if self.filter_lidar_max_range > 0:
+            keep &= ld["ranges"] <= self.filter_lidar_max_range
+        if self.filter_lidar_in_cams and self.cam_ids:
+            fr = self.scene.slice_at(fi)
+            l2w = np.asarray(fr.world_transform(lid))
+            pts_l = ld["rays_o"] + ld["ranges"][:, None] * ld["rays_d"]
+            pts_w = pts_l @ l2w[:3, :3].T + l2w[:3, 3]
+            in_any = np.zeros(len(pts_w), bool)
+            for cid in self.cam_ids:
+                c2w = np.asarray(fr.world_transform(cid))
+                intr = np.asarray(fr.data(cid)["intr"])
+                H, W = [int(v) for v in np.asarray(fr.data(cid)["hw"])]
+                w2c = np.linalg.inv(c2w)
+                pc = pts_w @ w2c[:3, :3].T + w2c[:3, 3]
+                z = pc[:, 2]
+                uv = (pc[:, :2] / np.clip(z[:, None], 1e-9, None)) \
+                    @ intr[:2, :2].T + intr[:2, 2]
+                in_any |= ((z > 1e-3) & (uv[:, 0] >= 0) & (uv[:, 0] < W)
+                           & (uv[:, 1] >= 0) & (uv[:, 1] < H))
+            keep &= in_any
+        if keep.all():
+            return ld
+        return {k: v[keep] for k, v in ld.items()}
 
     def image(self, cam_id: str, fi: int) -> np.ndarray:
         key = (cam_id, fi)

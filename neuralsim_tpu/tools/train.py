@@ -100,9 +100,12 @@ def build_everything(cfg):
                       debug_grads=bool(tcfg.get("debug_grads", False)))
 
     # --- data ----------------------------------------------------------------
-    loader = SceneDataLoader(scene, dataset,
-                             with_mask=tcfg.get("with_mask", True),
-                             with_lidar=tcfg.get("with_lidar", False))
+    loader = SceneDataLoader(
+        scene, dataset,
+        with_mask=tcfg.get("with_mask", True),
+        with_lidar=tcfg.get("with_lidar", False),
+        filter_lidar_in_cams=tcfg.get("filter_lidar_in_cams", False),
+        filter_lidar_max_range=tcfg.get("filter_lidar_max_range", 0.0))
     return ConfigDict.from_dict({}), scene, bank, renderer, trainer, loader
 
 

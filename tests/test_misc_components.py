@@ -185,3 +185,27 @@ def test_visible_grid():
     n0 = vg.grid.sum()
     vg.dilate(1)
     assert vg.grid.sum() > n0
+
+
+def test_lidar_filter_in_cams():
+    """filter_in_cams keeps only beams whose hit points project into a
+    camera viewport (reference base_loader.py:654-753)."""
+    from neuralsim_tpu.dataio.dataloader import SceneDataLoader
+    from neuralsim_tpu.dataio.synthetic_scene import SyntheticSceneDataset
+    from neuralsim_tpu.scene import Scene
+    ds = SyntheticSceneDataset(n_frames=2, H=24, W=24, with_lidar=True)
+    scene = Scene.load_from_scenario(ds.get_scenario("synthetic_object"))
+    plain = SceneDataLoader(scene, ds, with_lidar=True)
+    filt = SceneDataLoader(scene, ds, with_lidar=True,
+                           filter_lidar_in_cams=True)
+    lid = plain.lidar_ids[0]
+    n_plain = plain.lidars[(lid, 0)]["ranges"].shape[0]
+    n_filt = filt.lidars[(lid, 0)]["ranges"].shape[0]
+    # lidar reuses camera rays here, but zero-range beams are dropped and
+    # everything kept must project into the camera
+    assert 0 < n_filt <= n_plain
+    # max-range filter composes
+    short = SceneDataLoader(scene, ds, with_lidar=True,
+                            filter_lidar_max_range=2.0)
+    assert short.lidars[(lid, 0)]["ranges"].size > 0
+    assert short.lidars[(lid, 0)]["ranges"].max() <= 2.0
