@@ -40,8 +40,10 @@ def main():
     import os as _os
     if _os.environ.get("BENCH_ENCODING", "mixed") == "mixed":
         enc_cfg = {"type": "tpu_mixed", "n_levels": 10, "base_res": 16,
-                   "max_res": 1024, "n_feats": 4, "n_hash_levels": 2,
-                   "log2_hashmap_size": 17, "cp_max_res": 512}
+                   "max_res": 1024, "n_feats": 4,
+                   "n_hash_levels": int(_os.environ.get("BENCH_NHASH", "2")),
+                   "log2_hashmap_size": 17,
+                   "cp_max_res": int(_os.environ.get("BENCH_CPMAX", "512"))}
     else:
         enc_cfg = {"n_levels": 12, "base_res": 16, "max_res": 1024,
                    "log2_hashmap_size": 17, "n_feats": 2}

@@ -36,8 +36,10 @@ def main():
     factors = tuple(1.0 * 4.0 ** i for i in range(len(fine))) or (1.0,)
 
     enc_cfg = {"type": "tpu_mixed", "n_levels": 10, "base_res": 16,
-               "max_res": 1024, "n_feats": 4, "n_hash_levels": 2,
-               "log2_hashmap_size": 17, "cp_max_res": 512}
+               "max_res": 1024, "n_feats": 4,
+               "n_hash_levels": int(os.environ.get("BENCH_NHASH", "2")),
+               "log2_hashmap_size": 17,
+               "cp_max_res": int(os.environ.get("BENCH_CPMAX", "512"))}
     space = AABBSpace((-1, -1, -1), (1, 1, 1))
     field = NeuSField(space, geometry="lotd", encoding_cfg=enc_cfg,
                       geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
