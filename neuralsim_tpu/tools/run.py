@@ -21,6 +21,7 @@ _TASKS = {
     "demo_category": "neuralsim_tpu.tools.demo_category",
     "inspect_rendering": "neuralsim_tpu.tools.inspect_rendering",
     "preprocess_waymo": "neuralsim_tpu.tools.preprocess_waymo",
+    "viewer": "neuralsim_tpu.tools.viewer",
 }
 
 

@@ -35,8 +35,11 @@ def main():
     iters = int(os.environ.get("AB_ITERS", "600"))
     factors = tuple(1.0 * 4.0 ** i for i in range(len(fine))) or (1.0,)
 
-    enc_cfg = {"type": "tpu_mixed", "n_levels": 10, "base_res": 16,
-               "max_res": 1024, "n_feats": 4,
+    enc_cfg = {"type": "tpu_mixed",
+               "n_levels": int(os.environ.get("BENCH_NLEVELS", "10")),
+               "base_res": 16,
+               "max_res": 1024,
+               "n_feats": int(os.environ.get("BENCH_NFEATS", "4")),
                "n_hash_levels": int(os.environ.get("BENCH_NHASH", "2")),
                "log2_hashmap_size": 17,
                "cp_max_res": int(os.environ.get("BENCH_CPMAX", "512"))}
