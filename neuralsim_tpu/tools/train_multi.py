@@ -78,8 +78,22 @@ def main_function(cfg) -> Dict[str, Any]:
     params = bank.training_initialize(params, k_pre)
     state = trainer.init_state(key, params=params)
 
-    sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 2048),
-                           seed=cfg.get("seed", 42))
+    if loader is not None:
+        sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 2048),
+                               seed=cfg.get("seed", 42))
+    else:
+        # procedural datasets (synthetic_multi) emit world-ray batches
+        # directly instead of (cam, frame, pixel) tuples
+        class _DirectSampler:
+            def __init__(self, ds, n, seed):
+                self.ds, self.n = ds, n
+                self.rng = np.random.default_rng(seed)
+
+            def sample(self):
+                return self.ds.sample_pixels(self.rng, self.n)
+
+        sampler = _DirectSampler(dataset, tcfg.get("n_rays", 2048),
+                                 cfg.get("seed", 42))
     # lidar + image_patch cadence (reference code_multi step types,
     # code_multi/tools/train.py:240-252)
     lidar_sampler = None
@@ -105,8 +119,12 @@ def main_function(cfg) -> Dict[str, Any]:
     for it in range(num_iters):
         key, sk = jax.random.split(key)
         raw = sampler.sample()
-        batch = lift_pixel_batch(scene, raw)
-        batch["rays_fidx"] = jnp.asarray(raw["rays_fidx"])
+        if "rays_o" in raw:          # direct world-ray batch (procedural)
+            batch = {k: jnp.asarray(v) for k, v in raw.items()
+                     if not isinstance(v, str)}
+        else:
+            batch = lift_pixel_batch(scene, raw)
+            batch["rays_fidx"] = jnp.asarray(raw["rays_fidx"])
         state, m = trainer.train_step(state, batch, sk)
         if lidar_sampler is not None:
             lb = lidar_sampler.sample()

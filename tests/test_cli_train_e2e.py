@@ -173,3 +173,16 @@ def test_run_directory_batch(tmp_path):
     for name in ("a", "b"):
         assert os.path.isfile(os.path.join(tmp_path / "batch", name,
                                            "eval", "metrics.json"))
+
+
+def test_train_multi_cli(tmp_path):
+    """train_multi CLI drives the shipped synthetic_multi config end-to-end
+    (regression: the direct-sampling path for procedural datasets)."""
+    from neuralsim_tpu.tools.train_multi import main as multi_main
+    out = multi_main([
+        "--config", "configs/synthetic_multi.yaml",
+        f"--exp_dir={tmp_path / 'multi'}",
+        "--training.num_iters=2", "--training.n_rays=64",
+        "--training.i_log=1", "--compile_cache=",
+    ])
+    assert os.path.isdir(os.path.join(out["exp_dir"], "ckpts", "final"))
