@@ -145,3 +145,51 @@ def test_ego_motion_compensation_moves_origins():
     np.testing.assert_allclose(rays["rays_o"][:, 0], -1.0, atol=1e-5)
     # and ranges unchanged (pure translation of the sensor)
     np.testing.assert_allclose(rays["ranges"], 5.0, atol=1e-5)
+
+
+def test_streetsurf_trains_on_preprocessed_sequence(processed):
+    """The full StreetSurf chain on a preprocessed Waymo-layout sequence:
+    WaymoDataset reader -> ego-child cameras -> street+distant+sky assets ->
+    camera + LiDAR joint training through the real CLI (tiny scale)."""
+    out_root, seq = processed
+    from neuralsim_tpu.tools.train import main_function
+    cfg = {
+        "exp_dir": os.path.join(out_root, "exp"),
+        "seed": 0, "compile_cache": None,
+        "dataset_cfg": {
+            "target": "neuralsim_tpu.dataio.waymo.WaymoDataset",
+            "params": {"root": out_root,
+                       "camera_list": ["camera_FRONT"],
+                       "lidar_list": ["lidar_TOP"]},
+        },
+        "scenebank_cfg": {"scenarios": [seq]},
+        "assetbank_cfg": {
+            "Street": {
+                "model_class": "neuralsim_tpu.models.assets.LoTDNeuSStreet",
+                "model_params": {
+                    "extend_size": 10.0,
+                    "encoding_cfg": {"n_levels": 4, "base_res": 8,
+                                     "max_res": 32, "n_feats": 2,
+                                     "log2_hashmap_size": 10},
+                    "geo_feat_dim": 8, "radiance_hidden": 16,
+                    "inv_s_init": 10.0, "pretrain": None, "accel_cfg": None,
+                    "query_cfg": {"num_coarse": 16, "num_fine": [4],
+                                  "upsample_inv_s": 32.0,
+                                  "upsample_inv_s_factors": [1.0]}},
+                "asset_params": {"training_cfg": {"lr": 0.01}}},
+            "Sky": {"model_class":
+                    "neuralsim_tpu.models.assets.SimpleSkyAsset",
+                    "model_params": {"hidden": 8},
+                    "asset_params": {"training_cfg": {"lr": 0.003}}},
+        },
+        "renderer": {"cr_class": "Street", "sky_class": "Sky"},
+        "training": {"num_iters": 3, "n_rays": 64, "n_rays_lidar": 32,
+                     "uniform_sample_n": 32, "i_log": 1, "i_val": 1000,
+                     "val_downscale": 4, "with_mask": False,
+                     "with_lidar": True,
+                     "losses": {"rgb": {"fn_type": "huber", "w": 10.0},
+                                "eikonal": {"w": 0.01},
+                                "lidar": {"w": 0.1, "depth": {"w": 1.0}}}},
+    }
+    out = main_function(cfg)
+    assert np.isfinite(out["psnr"])
