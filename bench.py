@@ -38,12 +38,20 @@ def main():
     # for perf comparisons: BENCH_ENCODING=hash|mixed (default mixed — the
     # TPU-first dense+CP+hash level plan).
     import os as _os
+    # Flagship default: the gather-free high-capacity all-CP plan — measured
+    # quality-per-wall-clock dominates the hash-mixed plan on the v5e
+    # (1500-iter A/B: 29.99 dB at 115k rays/s vs 30.39 dB at 54k; at equal
+    # wall-clock all-CP trains ~2.1x more steps and wins). Hash levels stay a
+    # config away: BENCH_NHASH=2 BENCH_NLEVELS=10 BENCH_NFEATS=4
+    # BENCH_CPMAX=512 reproduces the mixed plan.
     if _os.environ.get("BENCH_ENCODING", "mixed") == "mixed":
-        enc_cfg = {"type": "tpu_mixed", "n_levels": 10, "base_res": 16,
-                   "max_res": 1024, "n_feats": 4,
-                   "n_hash_levels": int(_os.environ.get("BENCH_NHASH", "2")),
+        enc_cfg = {"type": "tpu_mixed",
+                   "n_levels": int(_os.environ.get("BENCH_NLEVELS", "12")),
+                   "base_res": 16, "max_res": 1024,
+                   "n_feats": int(_os.environ.get("BENCH_NFEATS", "8")),
+                   "n_hash_levels": int(_os.environ.get("BENCH_NHASH", "0")),
                    "log2_hashmap_size": 17,
-                   "cp_max_res": int(_os.environ.get("BENCH_CPMAX", "512"))}
+                   "cp_max_res": int(_os.environ.get("BENCH_CPMAX", "2048"))}
     else:
         enc_cfg = {"n_levels": 12, "base_res": 16, "max_res": 1024,
                    "log2_hashmap_size": 17, "n_feats": 2}
