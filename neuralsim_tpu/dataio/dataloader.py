@@ -103,6 +103,16 @@ class SceneDataLoader:
         img = self.image(cam_id, 0)
         return img.shape[1], img.shape[0]
 
+    def lidar(self, lidar_id: str, fi: int) -> Optional[Dict[str, np.ndarray]]:
+        """Filtered LiDAR frame dict (rays_o/rays_d/ranges), lazy-loaded."""
+        key = (lidar_id, fi)
+        if key not in self.lidars:
+            ld = self.dataset.get_lidar(self.scene.id, lidar_id, fi)
+            if ld is None:
+                return None
+            self.lidars[key] = self._filter_lidar(lidar_id, fi, ld)
+        return self.lidars[key]
+
 
 class PixelSampler:
     """Random (cam, frame, pixel) ray batches with GT (reference

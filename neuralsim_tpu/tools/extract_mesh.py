@@ -36,8 +36,19 @@ def main_function(cfg):
 
     sdf_jit = jax.jit(lambda x: cr.query_sdf(cr_params, x))
 
+    # optional visible-grid constraint (reference consumes VisibleGrid as
+    # model.accel during extraction, code_multi/tools/extract_mesh.py:55-59):
+    # points outside the visible hull are forced outside the level set.
+    vg = None
+    if cfg.get("visible_grid"):
+        from ..models.misc_assets import VisibleGrid
+        vg = VisibleGrid.load(cfg["visible_grid"])
+
     def sdf_fn(pts):
-        return np.asarray(sdf_jit(jnp.asarray(pts)))
+        vals = np.asarray(sdf_jit(jnp.asarray(pts)))
+        if vg is not None:
+            vals = np.where(vg.contains(pts), vals, np.abs(vals) + 1e3)
+        return vals
 
     space = cr.space
     verts, faces = extract_mesh(sdf_fn,

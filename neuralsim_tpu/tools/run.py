@@ -16,6 +16,7 @@ _TASKS = {
     "render": "neuralsim_tpu.tools.render",
     "extract_mesh": "neuralsim_tpu.tools.extract_mesh",
     "extract_occgrid": "neuralsim_tpu.tools.extract_occgrid",
+    "extract_visible_grid": "neuralsim_tpu.tools.extract_visible_grid",
     "manipulate": "neuralsim_tpu.tools.manipulate",
     "visualize_slice": "neuralsim_tpu.tools.visualize_slice",
     "demo_category": "neuralsim_tpu.tools.demo_category",

@@ -1,5 +1,7 @@
 """Tests: forest space, extra cameras, color transform, anim, profiler,
 error map, mono losses, patch samplers, EmerNeRF."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,3 +211,82 @@ def test_lidar_filter_in_cams():
                             filter_lidar_max_range=2.0)
     assert short.lidars[(lid, 0)]["ranges"].size > 0
     assert short.lidars[(lid, 0)]["ranges"].max() <= 2.0
+
+
+def test_visible_grid_morphology_and_roundtrip(tmp_path):
+    """Reference postprocess semantics (app/visible_grid.py:217-232):
+    close = 26-dilate then 26-erode with originals kept; close2 goes one
+    ring further; hit counts survive a save/load roundtrip."""
+    from neuralsim_tpu.models.misc_assets import VisibleGrid
+    vg = VisibleGrid((-1, -1, -1), (1, 1, 1), resolution=16)
+    # two isolated voxels one gap apart: closing must bridge the gap
+    pts = np.array([[0.0, 0.0, 0.0], [0.25, 0.0, 0.0],
+                    [0.0, 0.0, 0.0]])  # duplicate -> hits=2
+    vg.add_points(pts)
+    assert vg.hits.max() == 2
+    original = vg.grid.copy()
+    vg.postprocess("close")
+    # originals always survive a close
+    assert (vg.grid & original).sum() == original.sum()
+    # dilation reaches strictly more voxels than close
+    vg2 = VisibleGrid((-1, -1, -1), (1, 1, 1), resolution=16)
+    vg2.add_points(pts)
+    vg2.postprocess("dilation")
+    assert vg2.grid.sum() >= vg.grid.sum()
+    # close2 keeps originals too and is at least as large as close
+    vg3 = VisibleGrid((-1, -1, -1), (1, 1, 1), resolution=16)
+    vg3.add_points(pts)
+    vg3.postprocess("close2")
+    assert (vg3.grid & original).sum() == original.sum()
+    with pytest.raises(ValueError):
+        vg.postprocess("open")
+
+    # roundtrip + occ-state export + containment
+    p = str(tmp_path / "vg.npz")
+    vg.save(p)
+    back = VisibleGrid.load(p)
+    assert (back.grid == vg.grid).all()
+    assert back.hits.max() == 2
+    st = back.to_occ_state()
+    assert bool(st.mask.sum()) and st.val.shape == (16, 16, 16)
+    assert back.contains(np.array([[0.0, 0.0, 0.0]]))[0]
+    assert not back.contains(np.array([[5.0, 0.0, 0.0]]))[0]
+    mins, maxs = back.voxel_aabbs()
+    assert (maxs > mins).all()
+
+
+def test_extract_visible_grid_cli(tmp_path):
+    """Drive tools/extract_visible_grid.py end-to-end on GT LiDAR returns
+    (reference code_multi/tools/extract_visible_grid.py flow)."""
+    from neuralsim_tpu.tools.extract_visible_grid import main_function
+    cfg = {
+        "exp_dir": str(tmp_path),
+        "dataset_cfg": {
+            "target": "neuralsim_tpu.dataio.synthetic_scene.SyntheticSceneDataset",
+            "params": {"n_frames": 2, "H": 24, "W": 24, "radius": 2.0,
+                       "with_lidar": True},
+        },
+        "scenebank_cfg": {"scenarios": ["synthetic_object"]},
+        "assetbank_cfg": {
+            "Main": {
+                "model_class": "neuralsim_tpu.models.assets.LoTDNeuSObj",
+                "model_params": {
+                    "extent": 1.0,
+                    "encoding_cfg": {"n_levels": 2, "base_res": 8,
+                                     "max_res": 16, "n_feats": 2,
+                                     "log2_hashmap_size": 8},
+                    "geo_feat_dim": 4, "decoder_hidden": 8,
+                    "radiance_hidden": 8},
+                "asset_params": {"training_cfg": {"lr": 0.01}},
+            },
+        },
+        "renderer": {"cr_class": "Main"},
+        "training": {"with_lidar": True, "num_iters": 0, "n_rays": 32,
+                     "losses": {"rgb": {"w": 1.0}}},
+        "grid": {"source": "lidar_gt", "res": 32, "morphology": "close"},
+    }
+    out = main_function(cfg)
+    assert os.path.exists(out)
+    from neuralsim_tpu.models.misc_assets import VisibleGrid
+    vg = VisibleGrid.load(out)
+    assert vg.grid.sum() > 0
