@@ -133,7 +133,10 @@ def clearance_loss(near_sdf: jnp.ndarray, it, cfg: Dict) -> jnp.ndarray:
     thresh = cfg.get("thresh", 0.001)
     beta = cfg.get("beta", 10.0)
     viol = near_sdf < thresh
-    pen = jnp.exp(-beta * (near_sdf - thresh)) - 1.0
+    # clamp the exponent: a deeply-negative near_sdf (untrained SDF, wide
+    # street AABBs) must yield a huge-but-FINITE penalty — exp overflow here
+    # poisons loss_total for the whole batch before the mask applies
+    pen = jnp.exp(jnp.minimum(-beta * (near_sdf - thresh), 30.0)) - 1.0
     return reduce(pen, viol.astype(jnp.float32), "mean") * _w(cfg, it)
 
 
