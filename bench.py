@@ -23,10 +23,9 @@ def main():
     import jax
     # Persistent compile cache: the train-step graph takes minutes to compile
     # through the remote-compile relay; cache hits make reruns start instantly.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from neuralsim_tpu.utils.compile_cache import setup_compile_cache
+    setup_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     import jax.numpy as jnp
 
     from neuralsim_tpu.dataio.synthetic import SyntheticObjectDataset

@@ -240,3 +240,43 @@ class ImageSampler:
         if m is not None:
             out["image_occupancy_mask"] = m[::s, ::s].reshape(-1)
         return out
+
+
+class ViewSampler:
+    """Whole-downscaled-frame TRAIN batches, organized [H', W'] — the 'view'
+    step type (reference ImageDataset + train_step_view,
+    code_single/tools/train.py:443): image-level losses (rgb / mask /
+    entropy / mono cues) over one full low-res view per draw."""
+
+    def __init__(self, loader: SceneDataLoader, *, downscale: int = 8,
+                 seed: int = 0, dataset=None):
+        self.loader = loader
+        self.downscale = max(int(downscale), 1)
+        self.dataset = dataset
+        self.rng = np.random.default_rng(seed)
+
+    def sample(self, it: int = 0) -> Dict[str, Any]:
+        L = self.loader
+        cam_id = L.cam_ids[int(self.rng.integers(0, len(L.cam_ids)))]
+        fi = int(self.rng.integers(0, L.n_frames))
+        img = L.image(cam_id, fi)
+        s = self.downscale
+        img = img[::s, ::s]
+        H, W = img.shape[:2]
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        out = {"cam_id": cam_id, "fi": fi,
+               "rays_xy": np.stack([xs * s + 0.5 * s, ys * s + 0.5 * s],
+                                   -1).astype(np.float32),
+               "rays_fidx": np.full((H, W), fi, np.int32),
+               "image_rgb": img}
+        m = L.masks.get((cam_id, fi))
+        if m is not None:
+            out["image_occupancy_mask"] = m[::s, ::s]
+        if self.dataset is not None:
+            md = self.dataset.get_mono_depth(L.scene.id, cam_id, fi)
+            if md is not None:
+                out["image_mono_depth"] = md[::s, ::s]
+            mn = self.dataset.get_mono_normals(L.scene.id, cam_id, fi)
+            if mn is not None:
+                out["image_mono_normals"] = mn[::s, ::s]
+        return out

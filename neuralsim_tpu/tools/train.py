@@ -171,10 +171,8 @@ def main_function(cfg) -> Dict[str, Any]:
     import jax
     if cfg.get("platform"):
         jax.config.update("jax_platforms", cfg["platform"])
-    cache_dir = cfg.get("compile_cache", ".jax_cache")
-    if cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    from ..utils.compile_cache import setup_compile_cache
+    setup_compile_cache(cfg.get("compile_cache", ".jax_cache"))
     import jax.numpy as jnp
 
     from ..config import save_config
@@ -253,6 +251,17 @@ def main_function(cfg) -> Dict[str, Any]:
             **{k: v for k, v in p_cfg.items()
                if k not in ("every", "mode")})
 
+    # whole-downscaled-frame 'view' step (reference train_step_view,
+    # code_single/tools/train.py:443)
+    view_sampler = None
+    v_cfg = tcfg.get("view", {})
+    i_view = int(v_cfg.get("every", 0))
+    if i_view:
+        from ..dataio.dataloader import ViewSampler
+        view_sampler = ViewSampler(
+            loader, downscale=v_cfg.get("downscale", 8),
+            seed=cfg.get("seed", 42), dataset=loader.dataset)
+
     num_iters = int(tcfg.get("num_iters", 1000))
     i_val = int(tcfg.get("i_val", max(num_iters // 4, 1)))
     i_log = int(tcfg.get("i_log", 50))
@@ -313,6 +322,12 @@ def main_function(cfg) -> Dict[str, Any]:
                                                sk, "image_patch",
                                                praw["cam_id"])
                 sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
+            if view_sampler is not None and (it + 1) % i_view == 0:
+                vraw = view_sampler.sample(it)
+                key, sk = jax.random.split(key)
+                state, mv = trainer.train_step(state, to_device_batch(vraw),
+                                               sk, "view", vraw["cam_id"])
+                sticky_m.update({f"view/{k}": v for k, v in mv.items()})
             if it % i_log == 0:
                 mm = {k: float(np.asarray(v)) for k, v in {**sticky_m, **m}.items()
                       if np.asarray(v).ndim == 0}

@@ -52,10 +52,8 @@ def main_function(cfg) -> Dict[str, Any]:
     import jax
     if cfg.get("platform"):
         jax.config.update("jax_platforms", cfg["platform"])
-    if cfg.get("compile_cache", ".jax_cache"):
-        d = os.path.abspath(cfg.get("compile_cache", ".jax_cache"))
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
+    from ..utils.compile_cache import setup_compile_cache
+    setup_compile_cache(cfg.get("compile_cache", ".jax_cache"))
     import jax.numpy as jnp
     from ..config import save_config
     from ..dataio.dataloader import PixelSampler

@@ -120,9 +120,11 @@ class Trainer:
             # rays_fidx kept: h_appear lookup + postprocessor need it
             batch = {**{k: v for k, v in batch.items() if k != "rays_xy"},
                      "rays_o": ro, "rays_d": rd}
-        # image_patch batches arrive [ph, pw, ...]; flatten for the renderer
+        # image_patch / view batches arrive [ph, pw, ...]; flatten for the
+        # renderer ('view' = a whole downscaled frame, reference
+        # train_step_view, code_single/tools/train.py:443)
         patch_hw = None
-        if step_type == "image_patch":
+        if step_type in ("image_patch", "view"):
             patch_hw = batch["rays_o"].shape[:2]
             batch = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
                      if hasattr(v, "reshape")}
@@ -145,7 +147,7 @@ class Trainer:
             rendered["rgb_volume"] = self.renderer.apply_postprocess(
                 params, rendered["rgb_volume"], batch["rays_fidx"])
 
-        if step_type == "pixel":
+        if step_type in ("pixel", "view"):
             if "rgb" in self.loss_cfgs:
                 losses["loss_rgb"], ph_aux = photometric_loss(
                     rendered, batch, it, self.loss_cfgs["rgb"])
@@ -168,8 +170,8 @@ class Trainer:
                     up_vec=self.loss_cfgs["road_normal"].get("up_vec",
                                                              (0.0, 0.0, 1.0)))
 
-        if step_type == "image_patch":
-            if "rgb" in self.loss_cfgs:
+        if step_type in ("image_patch", "view"):
+            if "rgb" in self.loss_cfgs and step_type == "image_patch":
                 losses["loss_rgb"], ph_aux = photometric_loss(
                     rendered, batch, it, self.loss_cfgs["rgb"])
             if "s3im" in self.loss_cfgs:

@@ -138,6 +138,21 @@ def test_main_function_full_wiring(tmp_path):
     assert gn and gn[0] > 0.0, "color transform got no gradient"
 
 
+def test_view_step(tmp_path):
+    """'view' step type: whole-downscaled-frame training batches (reference
+    train_step_view, code_single/tools/train.py:443) — image-level rgb/mask
+    losses run on their own cadence through the real CLI driver."""
+    cfg = _tiny_cfg(tmp_path, view={"every": 2, "downscale": 8})
+    out = main_function(cfg)
+    assert np.isfinite(out["psnr"])
+    tags = set()
+    with open(os.path.join(out["exp_dir"], "metrics.jsonl")) as f:
+        for line in f:
+            tags.update(json.loads(line))
+    assert "view/loss_total" in tags, sorted(tags)
+    assert "view/loss_rgb" in tags and "view/loss_mask" in tags
+
+
 def test_main_cli_args(tmp_path):
     """Regression for the r1 argparse CLI bugs: drive main() with real argv
     including dot-overrides against a real config file."""
