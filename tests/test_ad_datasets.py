@@ -146,6 +146,39 @@ def test_nuscenes_reader(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+def test_custom_autodrive_taxonomies(tmp_path):
+    """CustomAutoDriveDataset: Waymo-layout tree + selectable semantic
+    taxonomy (reference custom_autodrive_dataset.py:80-147). ade20k ids map
+    sky=2/road=6/person=12/car=20; cityscapes sky=10/road=0/person=11."""
+    from neuralsim_tpu.dataio.custom import CustomAutoDriveDataset
+    root = str(tmp_path)
+    md = os.path.join(root, "seq0", "masks", "cam")
+    os.makedirs(md, exist_ok=True)
+    sem = np.array([[2, 6], [12, 20]], np.int32)   # ade20k ids
+    np.savez(os.path.join(md, "00000000.npz"), sem)
+
+    ds = CustomAutoDriveDataset(root, sequences=["seq0"],
+                                mask_taxonomy="ade20k")
+    occ = ds.get_occupancy_mask("seq0", "cam", 0)
+    assert occ.tolist() == [[0.0, 1.0], [1.0, 1.0]]          # sky id 2 only
+    assert ds.get_semantic_mask("seq0", "cam", 0, "human").tolist() == \
+        [[False, False], [True, False]]
+    assert ds.get_semantic_mask("seq0", "cam", 0, "vehicle").tolist() == \
+        [[False, False], [False, True]]
+    assert ds.get_road_mask("seq0", "cam", 0).tolist() == \
+        [[False, True], [False, False]]
+
+    # cityscapes interprets the same ids differently (2=building, 6=t-light)
+    ds2 = CustomAutoDriveDataset(root, sequences=["seq0"],
+                                 mask_taxonomy="cityscapes")
+    assert ds2.get_occupancy_mask("seq0", "cam", 0).min() == 1.0  # no sky=10
+    assert ds2.get_semantic_mask("seq0", "cam", 0, "dynamic").tolist() == \
+        [[False, False], [True, False]]                      # 12=rider
+    with pytest.raises(ValueError):
+        CustomAutoDriveDataset(root, mask_taxonomy="nope")
+
+
+# ---------------------------------------------------------------------------
 def _make_pandaset(root):
     seq = os.path.join(root, "001")
     cd = os.path.join(seq, "camera", "front_camera")
