@@ -1,4 +1,4 @@
-"""Large-scale scene datasets: Mega-NeRF (and its forest-block splitting).
+"""Large-scale scene datasets: Mega-NeRF and Block-NeRF.
 
 Functional equivalent of the reference's ``dataio/mega_nerf/mega_nerf_dataset.py``
 (222 LoC): reads the Mega-NeRF preprocessed layout —
@@ -150,6 +150,139 @@ class MegaNeRFDataset(SceneDataset):
         with open(p, "rb") as f:
             keep = torch.load(f, map_location="cpu", weights_only=False)
         return np.asarray(keep, np.float32)
+
+    def get_lidar(self, scene_id, lidar_id, frame_index):
+        return None
+
+
+class BlockNeRFDataset(SceneDataset):
+    """Block-NeRF (block-nerf-pytorch preprocessed Waymo-Block layout)
+    reader — reference ``dataio/block_nerf/block_nerf_dataset.py`` (357 LoC):
+
+        root/<split>/
+            train_all_meta.pt        {img_name: {cam_idx, c2w [3,4] OpenGL,
+                                      intrinsics [fx, fy], W, H,
+                                      equivalent_exposure}}
+            split_block_train.json   {block_id: {elements: [[img_name, ...]]}}
+            rgbs/<img_name>.png      masks/<img_name>.npz (semantic ids)
+            depths/<img_name>.npz    normals/<img_name>.jpg
+
+    Per-frame ``exposure`` rides in the camera data (consumed by appearance
+    embeddings / ColorTransform). ``block_ids`` restricts frames to the
+    chosen blocks."""
+
+    def __init__(self, root: str, *, split: str = "train",
+                 block_ids=None, cam_ids=None, exposures_std: float = 1.0,
+                 mask_taxonomy: str = "cityscapes", **_):
+        import json
+
+        import torch
+
+        from .custom import TAXONOMIES, _ids
+        self.root = root
+        self.split = split
+        tax = TAXONOMIES[mask_taxonomy]
+        self._kind_ids = {k: _ids(tax, [k])
+                          for k in ("sky", "human", "vehicle", "dynamic",
+                                    "road")}
+        meta = torch.load(os.path.join(root, "train", "train_all_meta.pt"),
+                          map_location="cpu", weights_only=False)
+        if block_ids is not None:
+            block_ids = [str(b) for b in (block_ids if isinstance(
+                block_ids, (list, tuple)) else [block_ids])]
+            with open(os.path.join(root, "train",
+                                   "split_block_train.json")) as f:
+                info = json.load(f)
+            keep = set()
+            for b in block_ids:
+                keep.update(e[0] for e in info[b]["elements"])
+            meta = {k: v for k, v in meta.items() if k in keep}
+        if cam_ids is not None:
+            cam_ids = {str(c) for c in (cam_ids if isinstance(
+                cam_ids, (list, tuple)) else [cam_ids])}
+            meta = {k: v for k, v in meta.items()
+                    if str(v["cam_idx"]) in cam_ids}
+
+        self.img_names, c2ws, intrs, hws, exps = [], [], [], [], []
+        for name in sorted(meta):
+            mi = meta[name]
+            c2w = np.eye(4)
+            c2w[:3, :4] = np.asarray(mi["c2w"], np.float64)[:3, :4]
+            c2ws.append(c2w @ _OPENCV_TO_OPENGL)
+            W, H = int(mi["W"]), int(mi["H"])
+            fx, fy = (float(v) for v in np.asarray(
+                mi["intrinsics"], np.float64)[:2])
+            intrs.append(np.array([[fx, 0, W * 0.5], [0, fy, H * 0.5],
+                                   [0, 0, 1]], np.float32))
+            hws.append((H, W))
+            exps.append(float(mi["equivalent_exposure"]) / exposures_std)
+            self.img_names.append(name)
+        self._c2ws = np.stack(c2ws).astype(np.float32)
+        self._intrs = np.stack(intrs)
+        self._hws = np.asarray(hws, np.int32)
+        self._exps = np.asarray(exps, np.float32)
+
+    def scene_ids(self) -> List[str]:
+        return ["waymo-block-nerf"]
+
+    def get_scenario(self, scene_id: str, **kw) -> Dict[str, Any]:
+        n = len(self.img_names)
+        observers = {"camera": {
+            "class_name": "Camera", "n_frames": n, "camera_model": "pinhole",
+            "data": {"transform": self._c2ws, "intr": self._intrs,
+                     "hw": self._hws, "exposure": self._exps}}}
+        return {"scene_id": scene_id,
+                "metas": {"num_frames": n, "up_vec": "+z"},
+                "observers": observers,
+                "objects": {"street": {"class_name": "Street",
+                                       "n_frames": n, "data": {}}}}
+
+    def _path(self, kind: str, frame_index: int, ext: str) -> str:
+        return os.path.join(self.root, self.split, kind,
+                            f"{self.img_names[frame_index]}.{ext}")
+
+    def get_image(self, scene_id, cam_id, frame_index) -> np.ndarray:
+        from PIL import Image
+        img = np.asarray(Image.open(self._path("rgbs", frame_index, "png")),
+                         np.float32) / 255.0
+        return img[..., :3]
+
+    def get_exposure(self, scene_id, cam_id, frame_index) -> float:
+        return float(self._exps[frame_index])
+
+    def _raw_mask(self, frame_index):
+        p = self._path("masks", frame_index, "npz")
+        if not os.path.isfile(p):
+            return None
+        with np.load(p) as z:
+            return z[z.files[0]]
+
+    def get_occupancy_mask(self, scene_id, cam_id, frame_index):
+        raw = self._raw_mask(frame_index)
+        if raw is None:
+            return None
+        return (~np.isin(raw, self._kind_ids["sky"])).astype(
+            np.float32).squeeze()
+
+    def get_semantic_mask(self, scene_id, cam_id, frame_index, kind="all"):
+        raw = self._raw_mask(frame_index)
+        if raw is None or kind == "all":
+            return raw
+        return np.isin(raw, self._kind_ids[kind]).squeeze()
+
+    def get_mono_depth(self, scene_id, cam_id, frame_index):
+        p = self._path("depths", frame_index, "npz")
+        if not os.path.isfile(p):
+            return None
+        with np.load(p) as z:
+            return z[z.files[0]].astype(np.float32)
+
+    def get_mono_normals(self, scene_id, cam_id, frame_index):
+        p = self._path("normals", frame_index, "jpg")
+        if not os.path.isfile(p):
+            return None
+        from PIL import Image
+        return np.asarray(Image.open(p), np.float32) / 255.0 * 2.0 - 1.0
 
     def get_lidar(self, scene_id, lidar_id, frame_index):
         return None

@@ -31,6 +31,59 @@ def _make_mega(root):
                os.path.join(root, "masks", "train_000.pt"))
 
 
+def _make_block(root):
+    import json
+    from PIL import Image
+    os.makedirs(os.path.join(root, "train", "rgbs"), exist_ok=True)
+    os.makedirs(os.path.join(root, "train", "masks"), exist_ok=True)
+    meta = {}
+    for i in range(4):
+        name = f"img_{i:04d}"
+        c2w = torch.eye(4)[:3]
+        c2w[0, 3] = 2.0 * i
+        meta[name] = {"image_name": name, "cam_idx": i % 2, "c2w": c2w,
+                      "intrinsics": torch.tensor([90.0, 90.0]),
+                      "W": 12, "H": 8, "equivalent_exposure": 0.1 * i}
+        arr = (np.random.default_rng(i).random((8, 12, 3)) * 255
+               ).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(root, "train", "rgbs", name + ".png"))
+        sem = np.full((8, 12), 10, np.int32)   # cityscapes sky
+        sem[4:] = 0                            # road below horizon
+        np.savez(os.path.join(root, "train", "masks", name + ".npz"), sem)
+    torch.save(meta, os.path.join(root, "train", "train_all_meta.pt"))
+    blocks = {"0": {"elements": [[f"img_{i:04d}", 0] for i in range(2)]},
+              "1": {"elements": [[f"img_{i:04d}", 0] for i in range(2, 4)]}}
+    with open(os.path.join(root, "train", "split_block_train.json"),
+              "w") as f:
+        json.dump(blocks, f)
+
+
+def test_block_nerf_reader(tmp_path):
+    from neuralsim_tpu.dataio.large_scale import BlockNeRFDataset
+    from neuralsim_tpu.scene import Scene
+    _make_block(str(tmp_path))
+    ds = BlockNeRFDataset(str(tmp_path), block_ids=["0"])
+    sc = ds.get_scenario("waymo-block-nerf")
+    assert sc["metas"]["num_frames"] == 2          # block filter applied
+    cam = sc["observers"]["camera"]
+    assert cam["data"]["intr"][0][0, 2] == 6.0     # cx = W/2
+    np.testing.assert_allclose(cam["data"]["transform"][0][:3, :3],
+                               np.diag([1.0, -1.0, -1.0]), atol=1e-6)
+    assert np.allclose(cam["data"]["exposure"], [0.0, 0.1])
+    occ = ds.get_occupancy_mask("s", "camera", 0)
+    assert occ[0, 0] == 0.0 and occ[5, 0] == 1.0   # sky row vs road row
+    assert ds.get_semantic_mask("s", "camera", 0, "road")[5, 0]
+    assert ds.get_image("s", "camera", 1).shape == (8, 12, 3)
+    assert np.isclose(ds.get_exposure("s", "camera", 1), 0.1)
+    scene = Scene.load_from_scenario(sc)
+    assert scene.n_frames == 2
+
+    # cam filter path
+    ds2 = BlockNeRFDataset(str(tmp_path), cam_ids=[0])
+    assert ds2.get_scenario("x")["metas"]["num_frames"] == 2
+
+
 def test_mega_nerf_reader(tmp_path):
     from neuralsim_tpu.dataio.large_scale import MegaNeRFDataset
     from neuralsim_tpu.scene import Scene
