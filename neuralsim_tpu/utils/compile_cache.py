@@ -30,7 +30,7 @@ def _host_isa_key() -> str:
 def setup_compile_cache(path: Optional[str] = ".jax_cache") -> Optional[str]:
     """Point jax's persistent cache at ``path`` (no-op if falsy), isolating
     CPU-backend entries per host ISA. Call after the platform is forced."""
-    if not path:
+    if not path or os.environ.get("NEURALSIM_NO_COMPILE_CACHE"):
         return None
     import jax
 

@@ -7,6 +7,11 @@ overrides the JAX_PLATFORMS env var, so we must select CPU via
 """
 import os
 
+# No persistent compile cache under pytest: CPU AOT entries are host-ISA
+# bound (SIGILL on host migration) and cache *writes* have aborted the
+# suite mid-compile; the suite's graphs are small enough to recompile.
+os.environ.setdefault("NEURALSIM_NO_COMPILE_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
