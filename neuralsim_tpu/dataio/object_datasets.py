@@ -423,3 +423,149 @@ class BlenderDataset(SceneDataset):
 
     def get_occupancy_mask(self, scene_id, cam_id, frame_index):
         return (self._load_rgba(frame_index)[..., 3] > 0.5).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# NeRS / MVMC single-instance dataset
+# ---------------------------------------------------------------------------
+
+def decode_coco_rle(rle: Dict[str, Any]) -> np.ndarray:
+    """Decode an uncompressed COCO RLE ({'counts', 'size'}) to a bool mask.
+
+    COCO RLE runs are column-major (Fortran order) over [H, W]; counts
+    alternate (skip, fill) run lengths. Matches the semantics of the
+    reference's rle_to_binary_mask (dataio/ners/instance_dataset.py:18-33)
+    via a vectorized cumsum-based expansion instead of a Python run loop.
+    """
+    counts = rle["counts"]
+    if isinstance(counts, str):
+        counts = [int(c) for c in counts.split(" ")]
+    counts = np.asarray(counts, np.int64)
+    size = tuple(rle["size"])
+    total = int(np.prod(size))
+    # run start offsets: cumulative sum of all runs; fill runs are the odd ones
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    flat = np.zeros(total, dtype=bool)
+    for s, e in zip(starts[1::2], ends[1::2]):
+        flat[s:e] = True
+    return flat.reshape(size, order="F")
+
+
+class MVMCNeRSDataset(SceneDataset):
+    """NeRS MVMC single-instance reader (reference
+    dataio/ners/instance_dataset.py and instance_dataset_cropped.py).
+
+    Layout: ``<root>/<instance_id>/annotations.json`` +
+    ``<root>/<instance_id>/images/<filename>``. Each annotation carries a
+    COCO-RLE instance mask, a bbox, and NeRS camera fits
+    (``camera_optimized`` / ``camera_pretrained``) as pytorch3d-convention
+    world-to-camera (R, T) plus a fov in degrees spanning the image NDC.
+
+    Pose conversion: pytorch3d w2c (row-vector convention) → OpenCV c2w is
+    ``c2w[:3,:3] = R; c2w[:3,3] = -R @ T`` followed by the axis flip
+    ``diag(-1,-1,1)`` (pytorch3d's +X-left/+Y-up vs OpenCV's +X-right/
+    +Y-down).
+
+    With ``crop_size`` set, images/masks are cropped to a padded square
+    around the bbox and resized (the reference's cropped variant); the
+    focal spans the crop and the principal point is the original image
+    center mapped into crop pixels (including the resize scale, which the
+    upstream file drops).
+    """
+
+    main_class = "Main"
+
+    def __init__(self, root: str, *, instance_id, scene_id: Optional[str] = None,
+                 camera_type: str = "camera_optimized",
+                 crop_size: Optional[int] = None, pad: float = 0.1, **_):
+        import json
+        instance_id = str(instance_id)
+        self.instance_dir = os.path.join(root, instance_id)
+        self._scene_id = scene_id or f"MVMC-{instance_id}"
+        self.crop_size = crop_size
+        with open(os.path.join(self.instance_dir, "annotations.json")) as f:
+            annos = json.load(f)["annotations"]
+        n = len(annos)
+        self.image_paths = [os.path.join(self.instance_dir, "images",
+                                         a["filename"]) for a in annos]
+        self.masks = [decode_coco_rle(a["mask"]) for a in annos]
+        hws = np.array([m.shape[:2] for m in self.masks], np.float64)
+        Rs = np.array([a[camera_type]["R"] for a in annos], np.float64)
+        Ts = np.array([a[camera_type]["T"] for a in annos], np.float64)
+        fovs = np.deg2rad(np.array([a[camera_type]["fov"] for a in annos],
+                                   np.float64))
+        f_ndc = np.abs(1.0 / np.tan(fovs / 2.0))          # focal in NDC units
+
+        if crop_size is None:
+            self.hws = hws.astype(np.int32)
+            intrs = np.zeros((n, 3, 3), np.float64)
+            # fov spans full W (x) and H (y) separately — NeRS NDC convention
+            intrs[:, 0, 0] = f_ndc * hws[:, 1] / 2.0
+            intrs[:, 1, 1] = f_ndc * hws[:, 0] / 2.0
+            intrs[:, 0, 2] = hws[:, 1] / 2.0
+            intrs[:, 1, 2] = hws[:, 0] / 2.0
+            intrs[:, 2, 2] = 1.0
+            self.square_bboxes = None
+        else:
+            # padded square bbox around the instance, resized to crop_size
+            bboxes = np.array([a["bbox"] for a in annos], np.float64)
+            centers = (bboxes[:, :2] + bboxes[:, 2:]) / 2.0
+            halves = (np.max(bboxes[:, 2:] - bboxes[:, :2], axis=1) / 2.0
+                      * (1.0 + pad)).astype(np.int64)
+            centers = centers.astype(np.int64)
+            self.square_bboxes = np.concatenate(
+                [centers - halves[:, None], centers + halves[:, None]], axis=1)
+            scale = crop_size / (2.0 * halves)            # crop px per src px
+            intrs = np.zeros((n, 3, 3), np.float64)
+            intrs[:, 0, 0] = intrs[:, 1, 1] = f_ndc * crop_size / 2.0
+            pp = (hws[:, [1, 0]] / 2.0 - self.square_bboxes[:, :2]) \
+                * scale[:, None]
+            intrs[:, :2, 2] = pp
+            intrs[:, 2, 2] = 1.0
+            self.hws = np.full((n, 2), crop_size, np.int32)
+        self.intrs = intrs.astype(np.float32)
+
+        c2ws = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        c2ws[:, :3, :3] = Rs
+        c2ws[:, :3, 3] = -np.einsum("nij,nj->ni", Rs, Ts)
+        c2ws = c2ws @ np.diag([-1.0, -1.0, 1.0, 1.0])
+        self.c2ws = c2ws.astype(np.float32)
+
+    def _crop_resize(self, img: np.ndarray, i: int,
+                     is_mask: bool) -> np.ndarray:
+        if self.crop_size is None:
+            return img
+        from PIL import Image
+        x0, y0, x1, y1 = (int(v) for v in self.square_bboxes[i])
+        H, W = img.shape[:2]
+        # pad-crop: out-of-bounds region is zeros
+        out_shape = (y1 - y0, x1 - x0) + img.shape[2:]
+        out = np.zeros(out_shape, img.dtype)
+        sy0, sy1 = max(y0, 0), min(y1, H)
+        sx0, sx1 = max(x0, 0), min(x1, W)
+        out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = img[sy0:sy1, sx0:sx1]
+        mode = Image.BILINEAR if is_mask else Image.LANCZOS
+        pim = Image.fromarray(
+            (out * 255).astype(np.uint8) if out.dtype != np.uint8 else out)
+        res = np.asarray(pim.resize((self.crop_size, self.crop_size), mode),
+                         np.float32) / 255.0
+        return res
+
+    def scene_ids(self) -> List[str]:
+        return [self._scene_id]
+
+    def get_scenario(self, scene_id: str = None, **kw) -> Dict[str, Any]:
+        n = len(self.image_paths)
+        return _single_object_scenario(self._scene_id, n, self.c2ws,
+                                       self.intrs, np.asarray(self.hws),
+                                       main_class=self.main_class)
+
+    def get_image(self, scene_id, cam_id, frame_index) -> np.ndarray:
+        img = load_rgb(self.image_paths[frame_index])
+        return self._crop_resize(img, frame_index, is_mask=False)
+
+    def get_occupancy_mask(self, scene_id, cam_id, frame_index):
+        m = self.masks[frame_index].astype(np.float32)
+        m = self._crop_resize(m, frame_index, is_mask=True)
+        return (m > 0.5).astype(np.float32)

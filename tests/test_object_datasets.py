@@ -201,3 +201,80 @@ def test_blender_dataset(tmp_path):
     assert img.shape == (24, 24, 3) and m.shape == (24, 24)
     # background composited to white where alpha=0
     assert float(img[m < 0.5].min()) > 0.99
+
+
+def test_mvmc_ners_dataset(tmp_path):
+    """NeRS/MVMC reader: RLE decode parity, fov->intrinsics, pytorch3d->
+    OpenCV pose conversion (reference dataio/ners/instance_dataset.py)."""
+    import json
+    from neuralsim_tpu.dataio.object_datasets import (MVMCNeRSDataset,
+                                                      decode_coco_rle)
+    rng = np.random.default_rng(0)
+    root = tmp_path / "mvmc"
+    inst = root / "123"
+    os.makedirs(inst / "images")
+    H, W, n = 36, 48, 3
+    annos = []
+    dense_masks = []
+    for i in range(n):
+        img = rng.uniform(size=(H, W, 3))
+        _write_png(inst / "images" / f"{i}.jpg", img)
+        # random rectangle mask -> column-major RLE
+        m = np.zeros((H, W), bool)
+        m[8:20, 10 + i:30] = True
+        dense_masks.append(m)
+        flat = m.reshape(-1, order="F").astype(np.int8)
+        # build COCO counts (skip, fill, skip, fill, ...)
+        change = np.flatnonzero(np.diff(flat)) + 1
+        bounds = np.concatenate([[0], change, [flat.size]])
+        runs = np.diff(bounds).tolist()
+        counts = runs if flat[0] == 0 else [0] + runs
+        # random rotation (orthonormal, det +1)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        annos.append({
+            "filename": f"{i}.jpg",
+            "bbox": [10 + i, 8, 30, 20],
+            "mask": {"counts": " ".join(map(str, counts)), "size": [H, W]},
+            "camera_optimized": {"R": q.tolist(),
+                                 "T": rng.normal(size=3).tolist(),
+                                 "fov": 50.0 + i},
+        })
+    with open(inst / "annotations.json", "w") as f:
+        json.dump({"annotations": annos}, f)
+
+    # RLE decode parity
+    for a, m in zip(annos, dense_masks):
+        np.testing.assert_array_equal(decode_coco_rle(a["mask"]), m)
+
+    d = MVMCNeRSDataset(str(root), instance_id=123)
+    sc = d.get_scenario()
+    assert sc["observers"]["camera_0"]["n_frames"] == n
+    img = d.get_image(sc["scene_id"], "camera_0", 0)
+    assert img.shape == (H, W, 3)
+    np.testing.assert_array_equal(
+        d.get_occupancy_mask(sc["scene_id"], "camera_0", 1),
+        dense_masks[1].astype(np.float32))
+    # intrinsics: fov spans W on x, H on y
+    f = 1.0 / np.tan(np.deg2rad(50.0) / 2.0)
+    np.testing.assert_allclose(d.intrs[0, 0, 0], f * W / 2, rtol=1e-6)
+    np.testing.assert_allclose(d.intrs[0, 1, 1], f * H / 2, rtol=1e-6)
+    # poses: rotation orthonormal with det +1; c2w @ w2c == I
+    for i in range(n):
+        R = d.c2ws[i, :3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) > 0
+    # camera center must be invariant to the pytorch3d->OpenCV flip:
+    # center = -R_w2c^T T, and the flip only changes axis directions
+    R0 = np.array(annos[0]["camera_optimized"]["R"])
+    T0 = np.array(annos[0]["camera_optimized"]["T"])
+    np.testing.assert_allclose(d.c2ws[0, :3, 3], -R0 @ T0, atol=1e-5)
+
+    # cropped variant: square output, principal point maps og center
+    dc = MVMCNeRSDataset(str(root), instance_id="123", crop_size=32)
+    imgc = dc.get_image(sc["scene_id"], "camera_0", 0)
+    assert imgc.shape == (32, 32, 3)
+    mc = dc.get_occupancy_mask(sc["scene_id"], "camera_0", 0)
+    assert mc.shape == (32, 32) and mc.max() == 1.0
+    assert dc.get_scenario()["observers"]["camera_0"]["data"]["hw"][0, 0] == 32
