@@ -35,6 +35,7 @@ class EmerNeRFField:
         self.space = space or AABBSpace()
         self.only_dynamic = only_dynamic
         self.with_flow = with_flow
+        self.use_time = True  # trainers derive cond from rays_fidx
 
         if not only_dynamic:
             self.static_enc = make_lotd(static_encoding_cfg or

@@ -15,4 +15,5 @@ from .common import (
     normalized_logistic_density,
     geometric_mean,
     safe_normalize,
+    depth_fill_in_fast,
 )

@@ -55,3 +55,66 @@ def chamfer_distance(a: jnp.ndarray, b: jnp.ndarray, trim_quantile: float = None
         nb = jnp.sum(d_ba > 0) + 1e-9
         return jnp.sum(d_ab) / na, jnp.sum(d_ba) / nb
     return jnp.mean(d_ab), jnp.mean(d_ba)
+
+
+def depth_fill_in_fast(depth, max_depth: float = 100.0,
+                       extrapolate: bool = False, blur_ksize: int = 5):
+    """Classical fast depth completion (Ku et al. 2018): densify a sparse
+    depth image (0 = missing) by inverted-depth morphology. Reference analog:
+    ``nr3d_lib.maths.depth_fill_in_fast`` (SURVEY.md §2.9 maths row; used to
+    densify projected LiDAR depth for visualization). Pure numpy (host-side
+    preprocessing/vis only — never inside jit).
+
+    Steps: invert valid depths -> dilate (5x5 diamond) -> close (5x5 full)
+    -> fill small holes (7x7 dilation) -> optional full-image fill -> median
+    blur-ish smoothing -> invert back.
+    """
+    import numpy as np
+
+    d = np.asarray(depth, np.float32).copy()
+    valid = d > 0.1
+    d[valid] = max_depth - d[valid]            # invert: near = large
+
+    def dilate(img, kernel):
+        kh, kw = kernel.shape
+        ph, pw = kh // 2, kw // 2
+        pad = np.pad(img, ((ph, ph), (pw, pw)), mode="constant")
+        win = np.lib.stride_tricks.sliding_window_view(pad, (kh, kw))
+        masked = np.where(kernel[None, None].astype(bool), win, -np.inf)
+        return masked.max(axis=(-2, -1))
+
+    diamond = np.array([[0, 0, 1, 0, 0], [0, 1, 1, 1, 0], [1, 1, 1, 1, 1],
+                        [0, 1, 1, 1, 0], [0, 0, 1, 0, 0]], np.uint8)
+    full5 = np.ones((5, 5), np.uint8)
+    full7 = np.ones((7, 7), np.uint8)
+
+    d = np.where(d > 0.1, dilate(d, diamond), 0.0)
+    # morphological close: dilate then erode (erode = -dilate(-x) on valid)
+    dc = dilate(d, full5)
+    er = -dilate(np.where(dc > 0.1, -dc, -np.inf), full5)
+    d = np.where(np.isfinite(er), er, 0.0)
+    # fill empty pixels from a wider dilation
+    filled = dilate(d, full7)
+    d = np.where(d < 0.1, np.where(filled > 0.1, filled, d), d)
+    if extrapolate:
+        # column-wise: extend the topmost valid value upward
+        for c in range(d.shape[1]):
+            rows = np.flatnonzero(d[:, c] > 0.1)
+            if rows.size:
+                d[:rows[0], c] = d[rows[0], c]
+        big = dilate(d, np.ones((31, 31), np.uint8))
+        d = np.where(d < 0.1, np.where(big > 0.1, big, d), d)
+    # light smoothing on valid pixels (box blur)
+    if blur_ksize > 1:
+        k = np.ones((blur_ksize, blur_ksize), np.float32)
+        ph = blur_ksize // 2
+        padv = np.pad(np.where(d > 0.1, d, 0.0), ph, mode="constant")
+        padm = np.pad((d > 0.1).astype(np.float32), ph, mode="constant")
+        wv = np.lib.stride_tricks.sliding_window_view(padv, k.shape)
+        wm = np.lib.stride_tricks.sliding_window_view(padm, k.shape)
+        s = (wv * k).sum((-2, -1))
+        c = (wm * k).sum((-2, -1))
+        sm = np.where(c > 0, s / np.maximum(c, 1.0), 0.0)
+        d = np.where(d > 0.1, sm, d)
+    out = np.where(d > 0.1, max_depth - d, 0.0)  # invert back
+    return out

@@ -502,6 +502,31 @@ class PermutoNeuSObj(AssetModel):
         self.query_cfg = dict(mp.get("query_cfg", {}))
 
 
+class StyleLoTDNeuSObj(ADGenerativePermutoConcatNeuSObj):
+    """Config-name-compatible alias for the reference's style/latent-
+    conditioned shared NeuS family (StyleLoTDNeuSObj,
+    shared/batched_neus.py:35). TPU design note: the style-modulated LoTD
+    backbone is replaced by the latent-concat permutohedral conditional
+    field (`fields/conditional.py`) — same capability (one shared generative
+    model, per-instance latents, batched queries), different (and on TPU
+    faster) encoding. ``z_dim`` maps the reference's style latent width."""
+
+
+class ADStyleLoTDNeuSObj(StyleLoTDNeuSObj):
+    """Reference ``AD_StyleLoTDNeuSObj`` (shared/batched_neus.py:80):
+    auto-decoder variant — identical here since per-instance latents are
+    always trained as an autodecoder bank."""
+
+
+class StyleNeuSLXYObj(StyleLoTDNeuSObj):
+    """Reference ``StyleNeuSLXYObj`` (shared/batched_neus.py:161) alias."""
+
+
+class DITNeuS(StyleLoTDNeuSObj):
+    """Reference ``DITNeuS`` (shared/batched_neus.py:285) alias; the DIT
+    latent-bank mechanics collapse onto the same autodecoder latents."""
+
+
 class DummyBox(AssetModel):
     """Space-only placeholder (reference asset_base.py:112)."""
 

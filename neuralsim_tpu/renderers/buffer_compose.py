@@ -114,6 +114,7 @@ class BufferComposeRenderer:
                   rays_d: jnp.ndarray, *, key=None, it=None,
                   with_rgb: bool = True, only_cr: bool = False,
                   h_appear: Optional[jnp.ndarray] = None,
+                  cond: Optional[jnp.ndarray] = None,
                   occ_states: Optional[Dict[str, Any]] = None,
                   return_buffer: bool = False) -> Dict[str, Any]:
         """frozen: FrozenScene at the batch's frame indices (built inside the
@@ -151,6 +152,11 @@ class BufferComposeRenderer:
                 if shared:
                     qkw["bidx"] = jnp.concatenate(
                         [jnp.full((B,), ob.bidx, jnp.int32) for ob in obs])
+                if cond is not None and getattr(obs[0].field, "use_time",
+                                                False):
+                    # per-ray normalized time, compacted like the rays
+                    qkw["cond"] = jnp.concatenate(
+                        [cond[sel] for sel in sels], 0)
                 if occ_states and model_id in occ_states \
                         and model_id in self.accels:
                     accel = self.accels[model_id]
@@ -196,6 +202,8 @@ class BufferComposeRenderer:
             field, mid, qcfg = self.scene_models["cr"]
             kb = jax.random.fold_in(key, 1000) if key is not None else None
             qcfg = dict(qcfg)
+            if cond is not None and getattr(field, "use_time", False):
+                qcfg["cond"] = cond
             if occ_states and "cr" in occ_states and "cr" in self.accels:
                 accel = self.accels["cr"]
                 st = occ_states["cr"]

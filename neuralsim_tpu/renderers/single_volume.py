@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .buffers import merge_and_integrate
+from ..ops.segment import masked_sum
 
 Params = Dict[str, Any]
 
@@ -66,6 +67,7 @@ class SingleVolumeRenderer:
                   with_rgb: bool = True, with_normal: bool = True,
                   only_cr: bool = False,
                   h_appear: Optional[jnp.ndarray] = None,
+                  cond: Optional[jnp.ndarray] = None,
                   query_overrides: Optional[Dict[str, Any]] = None,
                   occ_states: Optional[Dict[str, Any]] = None,
                   return_buffer: bool = False) -> Dict[str, Any]:
@@ -88,6 +90,10 @@ class SingleVolumeRenderer:
                            accel.ray_proposal(st, ro, rd, n_, f_, nc, key=k))
         if h_appear is not None:
             cfg["h_appear"] = h_appear
+        if cond is not None:
+            # per-ray conditioning (normalized time for dynamic fields);
+            # [N,1] or broadcastable [1,1]
+            cfg["cond"] = cond
         buf_cr = cr.ray_query(params[self.pkey("cr")], rays_o, rays_d, key=kcr, it=it,
                               near=near, far=far, with_rgb=with_rgb, **cfg)
         buffers = [buf_cr]
@@ -129,6 +135,30 @@ class SingleVolumeRenderer:
             # EmerNeRF decomposition quantities for the dynamic losses
             rendered["sigma_dynamic_cr"] = jnp.where(
                 buf_cr["mask"], buf_cr["sigma_dynamic"], 0.0)
+            # Decomposed static/dynamic + flow volumes (reference render.py
+            # with_static_dynamic / with_flow channels, code_single/tools/
+            # render.py:536-546,674-680). cr samples precede distant's in the
+            # merged buffer and transmittance is causal, so the merged vw
+            # restricted to the first S_cr lanes IS the cr samples' weight.
+            S_cr = buf_cr["t"].shape[-1]
+            vw_cr = rendered["vw"][..., :S_cr]
+            m_cr = buf_cr["mask"]
+            r_dyn = buf_cr.get("dynamic_ratio")
+            if r_dyn is not None:
+                w_dyn, w_sta = vw_cr * r_dyn, vw_cr * (1.0 - r_dyn)
+                rendered["mask_dynamic"] = masked_sum(w_dyn, m_cr)
+                rendered["mask_static"] = masked_sum(w_sta, m_cr)
+                if with_rgb and "rgb" in buf_cr:
+                    rendered["rgb_dynamic"] = masked_sum(
+                        w_dyn[..., None] * buf_cr["rgb"], m_cr[..., None], axis=-2)
+                    rendered["rgb_static"] = masked_sum(
+                        w_sta[..., None] * buf_cr["rgb"], m_cr[..., None], axis=-2)
+            for fk in ("flow_fwd", "flow_bwd"):
+                if fk in buf_cr:
+                    # flow belongs to the dynamic branch: weight by vw*ratio
+                    w = vw_cr * r_dyn if r_dyn is not None else vw_cr
+                    rendered[fk] = masked_sum(
+                        w[..., None] * buf_cr[fk], m_cr[..., None], axis=-2)
         if not return_buffer:
             rendered.pop("merged_buffer", None)
         return rendered
@@ -158,6 +188,7 @@ class SingleVolumeRenderer:
             o, d = args
             r = self.ray_query(params, o, d, key=key, with_rgb=True, **kw)
             r.pop("vw", None)
+            r.pop("sigma_dynamic_cr", None)
             r.pop("per_src", None)
             r.pop("merged_buffer", None)
             r.pop("details_cr", None)

@@ -213,11 +213,42 @@ def main_function(cfg) -> Dict:
     W, H = loader.image_wh(cam_id)
     Hs, Ws = H // downscale, W // downscale
 
-    def render_frame_rays(ro, rd):
+    time_conditioned = getattr(
+        getattr(renderer, "models", {}).get("cr"), "use_time", False)
+
+    def render_frame_rays(ro, rd, fi=None):
+        cond = None
+        if time_conditioned and fi is not None and scene.n_frames > 1:
+            # frozen frame's normalized time, broadcast over the chunk
+            cond = jnp.full((1, 1), fi / (scene.n_frames - 1), jnp.float32)
         r = renderer.render_chunked(params, ro, rd,
                                     rayschunk=int(rcfg.get("rayschunk", 4096)),
+                                    cond=cond,
                                     query_overrides={"perturb": False})
         return r
+
+    def write_extra_channels(r, fi):
+        """EmerNeRF decomposition + flow channels (reference render.py
+        with_static_dynamic/with_flow, code_single/tools/render.py:536-546,
+        674-680)."""
+        from ..utils.logger import scene_flow_to_rgb
+        for fk in ("flow_fwd", "flow_bwd"):
+            if fk in r:
+                fl = np.asarray(r[fk]).reshape(Hs, Ws, 3)
+                im = scene_flow_to_rgb(
+                    fl, flow_max_radius=float(rcfg.get("flow_max_radius", 0.5)))
+                _write_png(os.path.join(out_dir, f"{fk}_{fi:04d}.png"),
+                           (im * 255).astype(np.uint8))
+        for ck in ("rgb_static", "rgb_dynamic"):
+            if ck in r:
+                im = np.asarray(r[ck]).reshape(Hs, Ws, 3)
+                _write_png(os.path.join(out_dir, f"{ck}_{fi:04d}.png"),
+                           (np.clip(im, 0, 1) * 255).astype(np.uint8))
+        for mk in ("mask_static", "mask_dynamic"):
+            if mk in r:
+                im = np.asarray(r[mk]).reshape(Hs, Ws)
+                _write_png(os.path.join(out_dir, f"{mk}_{fi:04d}.png"),
+                           (np.clip(im, 0, 1) * 255).astype(np.uint8))
 
     def pixel_grid():
         ys, xs = np.meshgrid(np.arange(Hs), np.arange(Ws), indexing="ij")
@@ -243,7 +274,8 @@ def main_function(cfg) -> Dict:
             if hasattr(renderer, "set_frame"):
                 renderer.set_frame(fi)
             ro, rd = camera_get_selected_rays(fr, cam_id, pixel_grid())
-            r = render_frame_rays(ro, rd)
+            r = render_frame_rays(ro, rd, fi=fi)
+            write_extra_channels(r, fi)
             rgb = np.asarray(r["rgb_volume"]).reshape(Hs, Ws, 3)
             depth_raw = np.asarray(r["depth_volume"]).reshape(Hs, Ws)
             if mesh is not None:

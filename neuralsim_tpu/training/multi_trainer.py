@@ -75,9 +75,16 @@ class MultiObjectTrainer:
             batch = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
                      if hasattr(v, "reshape")}
         frozen = self.scene.slice_at(batch["rays_fidx"])
+        # normalized per-ray time for time-conditioned fields (dynamic
+        # categorical models / EmerNeRF street) — forwarded only to fields
+        # with use_time by the compose renderer
+        cond = None
+        if self.scene.n_frames > 1:
+            cond = (batch["rays_fidx"].astype(jnp.float32)
+                    / (self.scene.n_frames - 1))[:, None]
         rendered = self.renderer.ray_query(
             params, frozen, batch["rays_o"], batch["rays_d"],
-            key=k_render, it=it, with_rgb=with_rgb,
+            key=k_render, it=it, with_rgb=with_rgb, cond=cond,
             only_cr=(step_type == "lidar"), occ_states=occ,
             return_buffer=True)
         buf = rendered.get("merged_buffer")

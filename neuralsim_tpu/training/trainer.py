@@ -136,10 +136,19 @@ class Trainer:
             if emid in params and cam_id in easset.tables:
                 h_appear = easset.h_appear(params[emid], cam_id,
                                            batch["rays_fidx"])
+        # per-ray normalized time for time-conditioned cr fields (EmerNeRF,
+        # DynamicPermutoConcat) — reference passes frame ts through scene
+        # slicing; here cond = fidx / (n_frames-1) computed in-jit
+        cond = None
+        if getattr(cr, "use_time", False) and "rays_fidx" in batch:
+            n_fr = self.scene.n_frames if self.scene is not None else None
+            if n_fr:
+                cond = (batch["rays_fidx"].astype(jnp.float32)
+                        / max(n_fr - 1, 1))[:, None]
         rendered = self.renderer.ray_query(
             params, batch["rays_o"], batch["rays_d"], key=k_render, it=it,
             with_rgb=with_rgb, return_buffer=True, occ_states=occ,
-            h_appear=h_appear, only_cr=(step_type == "lidar"))
+            h_appear=h_appear, cond=cond, only_cr=(step_type == "lidar"))
         buf = rendered.get("merged_buffer")
         if with_rgb and getattr(self.renderer, "postprocessor", None) \
                 is not None and "rays_fidx" in batch:
@@ -240,7 +249,10 @@ class Trainer:
                 and getattr(cr, "with_flow", False):
             fcfg = self.loss_cfgs["flow"]
             kk = jax.random.fold_in(k_uniform, 101)
-            x_f = cr.space.uniform_points(kk, self.uniform_sample_n)
+            # own sample count: uniform_sample_n may be 0 (mean over an
+            # empty set is NaN — caught by the CLI NaN forensics)
+            n_flow = int(fcfg.get("n_samples", self.uniform_sample_n or 1024))
+            x_f = cr.space.uniform_points(kk, n_flow)
             t01 = jax.random.uniform(jax.random.fold_in(kk, 1), x_f.shape[:-1])
             res = cr.flow_cycle_residual(params[self.renderer.pkey("cr")],
                                          x_f, t01)

@@ -119,6 +119,37 @@ def color_depth(depth: np.ndarray, near=None, far=None) -> np.ndarray:
     return np.stack([r, g, b], -1)
 
 
+def scene_flow_to_rgb(flow: np.ndarray, flow_max_radius: float = 0.5,
+                      plane: tuple = (0, 1)) -> np.ndarray:
+    """3D scene flow -> RGB via the optical-flow color wheel on two chosen
+    components (reference ``nr3d_lib.plot.scene_flow_to_rgb``, consumed at
+    code_single/tools/render.py:678 for the EmerNeRF flow channels).
+
+    Direction in the ``plane`` components -> hue; magnitude (clipped at
+    ``flow_max_radius``) -> saturation; value fixed at 1 (bright background
+    for zero flow).
+    """
+    f = np.asarray(flow, np.float32)
+    fx, fy = f[..., plane[0]], f[..., plane[1]]
+    mag = np.sqrt(fx * fx + fy * fy)
+    ang = np.arctan2(fy, fx)                     # [-pi, pi]
+    hue = (ang / (2.0 * np.pi)) % 1.0
+    sat = np.clip(mag / max(flow_max_radius, 1e-9), 0.0, 1.0)
+    # HSV -> RGB with V=1
+    h6 = hue * 6.0
+    i = np.floor(h6).astype(np.int32) % 6
+    frac = h6 - np.floor(h6)
+    p = 1.0 - sat
+    q = 1.0 - sat * frac
+    t = 1.0 - sat * (1.0 - frac)
+    one = np.ones_like(sat)
+    lut = np.stack([
+        np.stack([one, t, p], -1), np.stack([q, one, p], -1),
+        np.stack([p, one, t], -1), np.stack([p, q, one], -1),
+        np.stack([t, p, one], -1), np.stack([one, p, q], -1)], 0)
+    return np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
+
+
 def gallery(images, cols: int = 4) -> np.ndarray:
     """Tile [N, H, W, 3] images into one grid image (reference plot.gallery)."""
     images = np.asarray(images)

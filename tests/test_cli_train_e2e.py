@@ -201,3 +201,48 @@ def test_train_multi_cli(tmp_path):
         "--training.i_log=1", "--compile_cache=",
     ])
     assert os.path.isdir(os.path.join(out["exp_dir"], "ckpts", "final"))
+
+
+def test_emernerf_cli_train_and_flow_render(tmp_path):
+    """EmerNeRF through the CLI: train with flow + dynamic-sparsity losses,
+    then render replay emitting the decomposed static/dynamic + flow channels
+    (reference render.py with_flow/with_static_dynamic)."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg["assetbank_cfg"] = {
+        "Street": {
+            "model_class": "neuralsim_tpu.models.assets.EmerNerfStreet",
+            "model_params": {
+                "aabb": [[-2, -2, -2], [2, 2, 2]],
+                "static_encoding_cfg": {"n_levels": 3, "base_res": 8,
+                                        "max_res": 16,
+                                        "log2_hashmap_size": 10},
+                "dynamic_permuto_cfg": {"n_levels": 2, "base_res": 4,
+                                        "max_res": 8,
+                                        "log2_hashmap_size": 10},
+                "geo_feat_dim": 4, "radiance_hidden": 8,
+                "with_flow": True,
+                "query_cfg": {"num_coarse": 16},
+            },
+            "asset_params": {"training_cfg": {"lr": 0.01}},
+        },
+    }
+    cfg["renderer"] = {"cr_class": "Street"}
+    cfg["training"]["losses"] = {
+        "rgb": {"fn_type": "mse", "w": 1.0},
+        "flow": {"w": 0.01},
+        "dynamic_sparsity": {"w": 0.01},
+    }
+    cfg["training"]["uniform_sample_n"] = 0
+    out = main_function(cfg)
+    assert np.isfinite(out["psnr"])
+
+    from neuralsim_tpu.tools.render import main_function as render_main
+    rcfg = dict(cfg)
+    rcfg["resume_dir"] = cfg["exp_dir"]
+    rcfg["render"] = {"mode": "replay", "frames": [0], "downscale": 8,
+                      "video": False}
+    out = render_main(rcfg)
+    od = out["out_dir"]
+    for ch in ("rgb", "flow_fwd", "flow_bwd", "rgb_static", "rgb_dynamic",
+               "mask_static", "mask_dynamic"):
+        assert os.path.isfile(os.path.join(od, f"{ch}_0000.png")), ch

@@ -49,3 +49,78 @@ def test_emernerf_flow_losses_train():
     assert "loss_dynamic_sparsity" in m
     flow1 = np.asarray(jax.tree.leaves(state.params["cr"]["flow_dec"])[0])
     assert np.abs(flow1 - flow0).max() > 0, "flow decoder got no gradient"
+
+
+def test_emernerf_decomposition_and_time_cond():
+    """Decomposed static/dynamic + flow volumes from the renderer (reference
+    render.py with_static_dynamic/with_flow channels) and time conditioning
+    actually reaching the 4D dynamic encoding."""
+    space = AABBSpace((-1, -1, -1), (1, 1, 1))
+    field = EmerNeRFField(
+        space,
+        static_encoding_cfg={"n_levels": 3, "base_res": 8, "max_res": 16,
+                             "log2_hashmap_size": 10},
+        dynamic_permuto_cfg={"n_levels": 2, "base_res": 4, "max_res": 8,
+                             "log2_hashmap_size": 10},
+        geo_feat_dim=4, decoder_hidden=8, radiance_hidden=8, with_flow=True)
+    assert field.use_time
+    renderer = SingleVolumeRenderer({"cr": field},
+                                    query_cfg={"num_coarse": 16})
+    params = renderer.init(jax.random.PRNGKey(0))
+    n = 32
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ro, rd = -2.0 * d, d
+
+    r0 = renderer.ray_query(params, ro, rd, key=None,
+                            cond=jnp.zeros((n, 1)))
+    for k in ("mask_static", "mask_dynamic", "rgb_static", "rgb_dynamic",
+              "flow_fwd", "flow_bwd"):
+        assert k in r0, k
+        assert np.all(np.isfinite(np.asarray(r0[k])))
+    # static + dynamic fractions sum to the total mask
+    np.testing.assert_allclose(
+        np.asarray(r0["mask_static"] + r0["mask_dynamic"]),
+        np.asarray(r0["mask_volume"]), atol=1e-5)
+    # time conditioning must change the dynamic branch's output
+    r1 = renderer.ray_query(params, ro, rd, key=None,
+                            cond=jnp.ones((n, 1)))
+    assert np.abs(np.asarray(r1["mask_dynamic"])
+                  - np.asarray(r0["mask_dynamic"])).max() > 1e-7
+
+
+def test_trainer_passes_time_cond():
+    """Trainer derives cond from rays_fidx when the cr field is
+    time-conditioned and a scene provides n_frames."""
+    space = AABBSpace((-1, -1, -1), (1, 1, 1))
+    field = EmerNeRFField(
+        space,
+        static_encoding_cfg={"n_levels": 2, "base_res": 8, "max_res": 16,
+                             "log2_hashmap_size": 10},
+        dynamic_permuto_cfg={"n_levels": 2, "base_res": 4, "max_res": 8,
+                             "log2_hashmap_size": 10},
+        geo_feat_dim=4, decoder_hidden=8, radiance_hidden=8, with_flow=False)
+    renderer = SingleVolumeRenderer({"cr": field},
+                                    query_cfg={"num_coarse": 12})
+
+    class _FakeScene:
+        n_frames = 10
+
+    trainer = Trainer(renderer, loss_cfgs={"rgb": {"fn_type": "mse", "w": 1.0}},
+                      training_cfgs={"cr": {"lr": 1e-3}},
+                      uniform_sample_n=0, scene=_FakeScene())
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    n = 16
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    def loss_at(fidx):
+        batch = {"rays_o": -2.0 * d, "rays_d": d,
+                 "image_rgb": jnp.full((n, 3), 0.5),
+                 "rays_fidx": jnp.full((n,), fidx, jnp.int32)}
+        l, _ = trainer.compute_losses(state.params, batch, 0,
+                                      jax.random.PRNGKey(2), "pixel")
+        return float(l)
+
+    # same rays, different frame time -> different dynamic density -> loss
+    assert loss_at(0) != loss_at(9)

@@ -290,3 +290,44 @@ def test_extract_visible_grid_cli(tmp_path):
     from neuralsim_tpu.models.misc_assets import VisibleGrid
     vg = VisibleGrid.load(out)
     assert vg.grid.sum() > 0
+
+
+def test_scene_flow_to_rgb():
+    from neuralsim_tpu.utils.logger import scene_flow_to_rgb
+    import numpy as np
+    # zero flow -> white (sat 0, value 1)
+    z = scene_flow_to_rgb(np.zeros((4, 4, 3)), flow_max_radius=0.5)
+    assert z.shape == (4, 4, 3)
+    np.testing.assert_allclose(z, 1.0, atol=1e-6)
+    # +x flow at full radius -> pure hue 0 (red), saturated
+    f = np.zeros((1, 3)); f[0, 0] = 0.5
+    c = scene_flow_to_rgb(f, flow_max_radius=0.5)[0]
+    np.testing.assert_allclose(c, [1.0, 0.0, 0.0], atol=1e-5)
+    # opposite directions -> different colors; all values in [0,1]
+    g = np.zeros((1, 3)); g[0, 0] = -0.5
+    c2 = scene_flow_to_rgb(g, flow_max_radius=0.5)[0]
+    assert np.abs(c - c2).max() > 0.5
+    r = np.random.default_rng(0).normal(size=(8, 8, 3))
+    out = scene_flow_to_rgb(r)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_depth_fill_in_fast():
+    from neuralsim_tpu.maths import depth_fill_in_fast
+    import numpy as np
+    rng = np.random.default_rng(0)
+    H, W = 32, 40
+    gt = 5.0 + 2.0 * np.sin(np.linspace(0, 3, H))[:, None] \
+        + 0.5 * np.cos(np.linspace(0, 2, W))[None, :]
+    sparse = np.zeros((H, W), np.float32)
+    ys = rng.integers(0, H, 200); xs = rng.integers(0, W, 200)
+    sparse[ys, xs] = gt[ys, xs]
+    dense = depth_fill_in_fast(sparse, max_depth=20.0)
+    # densification: many more valid pixels than the input
+    assert (dense > 0.1).sum() > 3 * (sparse > 0.1).sum()
+    # filled values stay close to the smooth GT surface where defined
+    m = dense > 0.1
+    err = np.abs(dense[m] - gt[m])
+    assert np.median(err) < 0.5, float(np.median(err))
+    # no invented depths beyond the input range
+    assert dense.max() <= sparse.max() + 1e-3
