@@ -108,6 +108,24 @@ class OccGridEma:
         occ = state.mask[cell[..., 0], cell[..., 1], cell[..., 2]]
         return occ & inside
 
+    def _occ_probe_f(self, mask: jnp.ndarray, x: jnp.ndarray,
+                     lead: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Float occupancy probe on the hot proposal path: one flat bf16
+        1-D take instead of 3-D advanced indexing (4.97 -> 2.31 ms for
+        8192x48 probes on the v5e, scripts/prof_march3.py). ``mask``: a
+        [R,R,R] boolean grid, optionally with leading axes selected by
+        ``lead`` (per-point instance/keyframe index)."""
+        R = self.res
+        x01 = self.space.normalize_coords(x)
+        inside = jnp.all((x01 >= 0) & (x01 <= 1), axis=-1)
+        cell = jnp.clip((x01 * R).astype(jnp.int32), 0, R - 1)
+        lin = (cell[..., 0] * R + cell[..., 1]) * R + cell[..., 2]
+        if lead is not None:
+            lin = lead * (R * R * R) + lin
+        flat = mask.reshape(-1).astype(jnp.bfloat16)
+        occ = jnp.take(flat, lin.reshape(-1), mode="clip").reshape(lin.shape)
+        return occ.astype(jnp.float32) * inside
+
     def occupied_fraction(self, state: OccGridState) -> jnp.ndarray:
         return jnp.mean(state.mask.astype(jnp.float32))
 
@@ -147,15 +165,15 @@ class OccGridEma:
         t_edges = near[:, None] + (far - near)[:, None] * edges01      # [N, M+1]
         t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
         x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-        occ = self.occupancy_at(state, x)                              # [N, M]
-        hit_any = jnp.any(occ, axis=-1, keepdims=True)
+        occ = self._occ_probe_f(state.mask, x)                         # [N, M]
+        hit_any = jnp.max(occ, axis=-1, keepdims=True) > 0.0
 
         # occupancy CDF -> all samples in occupied segments (tiny uniform
-        # floor = the miss fallback within the same primitive)
-        w = occ.astype(jnp.float32) + (~hit_any) * 1.0
+        # floor = the miss fallback within the same primitive). sample_pdf
+        # draws stratified -> t comes back sorted; no post-sort.
+        w = occ + (~hit_any) * 1.0
         t = sample_pdf(t_edges, w, n_samples, key=key, det=key is None,
                        eps=1e-6)
-        t = jnp.sort(t, axis=-1)  # random-u draws come back unsorted
         valid = jnp.ones_like(t, dtype=bool)
         return t, valid
 
@@ -220,13 +238,12 @@ class OccGridEmaBatched(OccGridEma):
         t_edges = near[:, None] + (far - near)[:, None] * edges01
         t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
         x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-        occ = self.occupancy_at(state, x, bidx=jnp.broadcast_to(
+        occ = self._occ_probe_f(state.mask, x, lead=jnp.broadcast_to(
             bidx[:, None], t_mid.shape))
-        hit_any = jnp.any(occ, axis=-1, keepdims=True)
-        w = occ.astype(jnp.float32) + (~hit_any) * 1.0
+        hit_any = jnp.max(occ, axis=-1, keepdims=True) > 0.0
+        w = occ + (~hit_any) * 1.0
         t = sample_pdf(t_edges, w, n_samples, key=key, det=key is None,
                        eps=1e-6)
-        t = jnp.sort(t, axis=-1)
         return t, jnp.ones_like(t, dtype=bool)
 
 
@@ -294,10 +311,10 @@ class OccGridEmaDynamic(OccGridEma):
         t_edges = near[:, None] + (far - near)[:, None] * edges01
         t_mid = 0.5 * (t_edges[:, 1:] + t_edges[:, :-1])
         x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-        occ = self.occupancy_at(state, x, t01=t01[:, None])
-        hit_any = jnp.any(occ, axis=-1, keepdims=True)
-        w = occ.astype(jnp.float32) + (~hit_any) * 1.0
+        kf = self._kf(jnp.broadcast_to(t01[:, None], t_mid.shape))
+        occ = self._occ_probe_f(state.mask, x, lead=kf)
+        hit_any = jnp.max(occ, axis=-1, keepdims=True) > 0.0
+        w = occ + (~hit_any) * 1.0
         t = sample_pdf(t_edges, w, n_samples, key=key, det=key is None,
                        eps=1e-6)
-        return jnp.sort(t, axis=-1), jnp.ones((rays_o.shape[0], n_samples),
-                                              bool)
+        return t, jnp.ones((rays_o.shape[0], n_samples), bool)

@@ -154,31 +154,35 @@ def sample_pdf(
     SURVEY.md §2.9 fields row). Static output shape [..., n_samples] — the
     fixed-count TPU formulation of adaptive importance sampling.
 
-    bins: [..., S+1] sorted bin edges; weights: [..., S] (non-negative,
-    invalid lanes must already be 0).
+    bins: [..., S+1] sorted ASCENDING bin edges; weights: [..., S]
+    (non-negative, invalid lanes must already be 0).
+
+    TPU formulation: gather-free direct inverse-CDF accumulation —
+    ``t(u) = bins[0] + sum_i len_i * clip((u - cdf_i)/(cdf_{i+1}-cdf_i))``
+    (exact for a piecewise-linear CDF over sorted edges). Beats the
+    searchsorted + 4×take_along_axis form ~2.7× on the v5e and fuses with
+    the upstream occupancy probe (measured in scripts/prof_march3.py).
+    Stochastic draws are STRATIFIED (jittered inverse-CDF strata), so the
+    output is sorted ascending per row by construction — callers need no
+    post-sort.
     """
-    weights = weights + eps
-    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., S+1]
+    w = weights + eps
+    csum = jnp.cumsum(w, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1) \
+        / csum[..., -1:]                                       # [..., S+1]
 
     if det or key is None:
         u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
     else:
-        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), minval=0.0, maxval=1.0)
+        u = (jnp.arange(n_samples)
+             + jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))) \
+            / n_samples
 
-    # searchsorted per ray: vectorized via broadcasting comparison (S is small
-    # and static, so the [..., n_samples, S+1] compare tiles fine on the VPU).
-    inds = jnp.sum((u[..., :, None] >= cdf[..., None, :]).astype(jnp.int32), axis=-1)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_b = jnp.take_along_axis(bins, below, axis=-1)
-    bin_a = jnp.take_along_axis(bins, above, axis=-1)
-
-    denom = jnp.where(cdf_a - cdf_b < eps, 1.0, cdf_a - cdf_b)
-    frac = (u - cdf_b) / denom
-    return bin_b + frac * (bin_a - bin_b)
+    # per-bin traversed fraction of each sample: [..., n_samples, S]
+    c0 = cdf[..., None, :-1]
+    c1 = cdf[..., None, 1:]
+    seg = jnp.clip((u[..., :, None] - c0) / jnp.maximum(c1 - c0, 1e-12),
+                   0.0, 1.0)
+    dt = (bins[..., 1:] - bins[..., :-1])[..., None, :]
+    return bins[..., :1] + jnp.sum(seg * dt, axis=-1)
