@@ -60,7 +60,11 @@ def main():
         encoding_cfg=enc_cfg,
         geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
         ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500,
-        remat=_os.environ.get("BENCH_REMAT", "1") == "1",
+        # remat default OFF for the all-CP flagship: no gather temps to
+        # spill, backward recompute was pure overhead (209k -> 275k rays/s;
+        # verified no-OOM at 8k/16k/32k rays). Hash-level configs should
+        # re-enable (BENCH_REMAT=1) — corner-gather temps dominate HBM there.
+        remat=_os.environ.get("BENCH_REMAT", "0") == "1",
         eval_chunk=int(_os.environ.get("BENCH_CHUNK", "2000000")))
     if "BENCH_FINE" in _os.environ:
         fine = tuple(int(x) for x in _os.environ["BENCH_FINE"].split(",") if x)

@@ -27,7 +27,7 @@ from .blocks import MLP, get_activation
 from .embedders import get_embedder, sinusoidal_embedder
 from .encodings.lotd import LoTDEncoding, make_lotd
 from .spatial import AABBSpace
-from ..ops.segment import alpha_to_vw, sample_pdf, sort_samples
+from ..ops.segment import alpha_to_vw, merge_sorted_samples, sample_pdf
 
 Params = Dict[str, Any]
 
@@ -457,10 +457,10 @@ class NeuSField:
                 {"x": x_new.reshape(-1, 3), **_extras(x_new.shape[:-1])},
                 self.eval_chunk).reshape(x_new.shape[:-1])
             m_new = jnp.broadcast_to(hit[:, None], t_new.shape)
-            t = jnp.concatenate([t, t_new], axis=-1)
-            sdf = jnp.concatenate([sdf, sdf_new], axis=-1)
-            mask = jnp.concatenate([mask, m_new], axis=-1)
-            t, mask, sdf = sort_samples(t, mask, sdf)
+            # both t (invariant) and t_new (stratified sampler) are sorted
+            # per ray -> rank-merge, no argsort (6 ms/stage saved, prof_r5)
+            t, mask, sdf = merge_sorted_samples(
+                t, t_new, (mask, m_new), (sdf, sdf_new))
 
         # --- final full evaluation -------------------------------------------
         x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]

@@ -5,6 +5,7 @@ from .segment import (
     masked_sum,
     masked_mean,
     sort_samples,
+    merge_sorted_samples,
     merge_sorted_buffers,
     sample_pdf,
 )

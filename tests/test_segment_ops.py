@@ -127,6 +127,50 @@ def test_sample_pdf_uniform_weights_cover_range():
     np.testing.assert_allclose(s.max(), 1 - 0.03125, atol=1e-5)
 
 
+def test_merge_sorted_samples_matches_sort():
+    # merge of two per-ray-sorted sets == stable argsort of the concat
+    from neuralsim_tpu.ops.segment import merge_sorted_samples
+
+    rng = np.random.default_rng(0)
+    t_a = np.sort(rng.uniform(0, 4, (64, 16)), axis=-1).astype(np.float32)
+    t_b = np.sort(rng.uniform(0, 4, (64, 8)), axis=-1).astype(np.float32)
+    # inject exact ties to exercise the a-before-b tie rule (re-sort to
+    # keep the merge precondition: each input sorted per ray)
+    t_b[:, 3] = t_a[:, 7]
+    t_b = np.sort(t_b, axis=-1)
+    p_a = rng.normal(size=(64, 16)).astype(np.float32)
+    p_b = rng.normal(size=(64, 8)).astype(np.float32)
+    m_a = np.ones((64, 16), bool)
+    m_a[5:9] = False  # per-ray-constant mask, like hit gating
+    m_b = np.ones((64, 8), bool)
+    m_b[5:9] = False
+
+    got = merge_sorted_samples(jnp.asarray(t_a), jnp.asarray(t_b),
+                               (jnp.asarray(m_a), jnp.asarray(m_b)),
+                               (jnp.asarray(p_a), jnp.asarray(p_b)))
+    order = np.argsort(np.concatenate([t_a, t_b], -1), axis=-1, kind="stable")
+    ref_t = np.take_along_axis(np.concatenate([t_a, t_b], -1), order, -1)
+    ref_m = np.take_along_axis(np.concatenate([m_a, m_b], -1), order, -1)
+    ref_p = np.take_along_axis(np.concatenate([p_a, p_b], -1), order, -1)
+    np.testing.assert_allclose(np.asarray(got[0]), ref_t, rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(got[1]), ref_m)
+    np.testing.assert_allclose(np.asarray(got[2]), ref_p, rtol=0, atol=0)
+
+
+def test_merge_sorted_samples_grad_flows():
+    from neuralsim_tpu.ops.segment import merge_sorted_samples
+
+    t_a = jnp.sort(jax.random.uniform(jax.random.PRNGKey(0), (4, 6)), -1)
+    t_b = jnp.sort(jax.random.uniform(jax.random.PRNGKey(1), (4, 3)), -1)
+
+    def loss(p):
+        t, pm = merge_sorted_samples(t_a, t_b, (p, p[:, :3]))
+        return jnp.sum(t * pm)
+
+    g = jax.grad(loss)(jnp.ones((4, 6)))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_alpha_to_vw_grad_flows():
     def loss(alpha):
         mask = jnp.ones_like(alpha, bool)
