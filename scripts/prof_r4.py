@@ -25,7 +25,7 @@ space = AABBSpace((-1, -1, -1), (1, 1, 1))
 field = NeuSField(space, geometry="lotd", encoding_cfg=enc_cfg,
                   geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
                   ln_inv_s_init=float(np.log(30.0)), cos_anneal_stop_it=500,
-                  remat=True, eval_chunk=2_000_000)
+                  remat=__import__("os").environ.get("PROF_REMAT", "0") == "1", eval_chunk=2_000_000)
 params = field.init(jax.random.PRNGKey(0))
 print("levels:", [(s.res, s.n_feats, s.typ) for s in field.encoding.specs],
       flush=True)
