@@ -112,14 +112,21 @@ class PermutoEncoding:
         rem0 = jnp.where(ce - elevated < elevated - fl, ce, fl)  # [d+1, N]
         sum_val = (jnp.sum(rem0, 0) * down).astype(jnp.int32)    # [N]
 
-        # rank of each coordinate's differential
+        # rank of each coordinate's differential. Vectorized pairwise
+        # compare with index tie-break — NOT a chain of .at[i].add updates:
+        # at d=11 (xyz+latent) that chain is 66 dynamic-update-slices per
+        # level and sends XLA's algebraic simplifier into its circular-
+        # rewrite loop (50-run cap; 41 s CPU compile for the encoding alone,
+        # remote TPU compile >40 min). The [d+1, d+1, N] compare fuses to
+        # one reduce. rank[i] = #{j>i: diff_i < diff_j} + #{j<i: diff_i <= diff_j}.
         diff = elevated - rem0                                    # [d+1, N]
-        rank = jnp.zeros((d + 1, N), jnp.int32)
-        for i in range(d + 1):
-            for j in range(i + 1, d + 1):
-                gt = diff[i] < diff[j]
-                rank = rank.at[i].add(jnp.where(gt, 1, 0))
-                rank = rank.at[j].add(jnp.where(gt, 0, 1))
+        lt = diff[:, None, :] < diff[None, :, :]                  # [i, j, N]
+        le = diff[:, None, :] <= diff[None, :, :]
+        iu = jnp.arange(d + 1)
+        upper = (iu[:, None] < iu[None, :])[..., None]            # j > i
+        lower = (iu[:, None] > iu[None, :])[..., None]            # j < i
+        rank = (jnp.sum(lt & upper, axis=1).astype(jnp.int32)
+                + jnp.sum(le & lower, axis=1).astype(jnp.int32))  # [d+1, N]
         # fix for non-zero sum
         rank = rank + sum_val[None, :]
         low = rank < 0
@@ -131,16 +138,14 @@ class PermutoEncoding:
         # destination row differs PER POINT, so the scatter must pair
         # (row_idx[n], n) — a bare bary.at[row_idx] would be row-selection
         # with an O(N^2) broadcast (observed as a many-GiB backward alloc).
-        # One-hot matmul-free formulation: select via comparisons.
+        # One-hot reduce over vertices (vectorized; the (d+2)x(d+1) where-add
+        # chain costs ~300 HLO ops at d=11 and real compile time):
+        # bary[r] = sum_i diff[i] * ([d - rank_i == r] - [d+1 - rank_i == r])
         diff = (elevated - rem0) * down                            # refreshed
-        bary_rows = []
-        for r in range(d + 2):
-            acc = jnp.zeros((N,), pos.dtype)
-            for i in range(d + 1):
-                acc = acc + jnp.where(d - rank[i] == r, diff[i], 0.0)
-                acc = acc + jnp.where(d + 1 - rank[i] == r, -diff[i], 0.0)
-            bary_rows.append(acc)
-        bary = jnp.stack(bary_rows, 0)
+        rr = jnp.arange(d + 2)[None, :, None]                      # [1, d+2, 1]
+        oh = ((d - rank)[:, None, :] == rr).astype(pos.dtype) \
+            - ((d + 1 - rank)[:, None, :] == rr).astype(pos.dtype)
+        bary = jnp.sum(diff[:, None, :] * oh, axis=0)              # [d+2, N]
         bary = bary.at[0].add(1.0 + bary[d + 1])
 
         # simplex vertex keys: y_k = rem0 + canonical_k(rank)
