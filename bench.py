@@ -65,6 +65,8 @@ def main():
         # verified no-OOM at 8k/16k/32k rays). Hash-level configs should
         # re-enable (BENCH_REMAT=1) — corner-gather temps dominate HBM there.
         remat=_os.environ.get("BENCH_REMAT", "0") == "1",
+        compute_dtype=("bfloat16" if _os.environ.get("BENCH_BF16", "0") == "1"
+                       else "float32"),
         eval_chunk=int(_os.environ.get("BENCH_CHUNK", "2000000")))
     if "BENCH_FINE" in _os.environ:
         fine = tuple(int(x) for x in _os.environ["BENCH_FINE"].split(",") if x)

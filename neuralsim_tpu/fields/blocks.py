@@ -57,7 +57,11 @@ def _linear_init(key, in_dim: int, out_dim: int, *, weight_norm_like: bool = Fal
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, p["W"], preferred_element_type=jnp.float32) + p["b"]
+    # bf16 activations: match the weight operand so the MXU runs a true
+    # bf16x bf16 matmul (params stay fp32 master copies; accumulation and
+    # the bias add stay fp32 via preferred_element_type).
+    W = p["W"].astype(x.dtype) if x.dtype == jnp.bfloat16 else p["W"]
+    return jnp.dot(x, W, preferred_element_type=jnp.float32) + p["b"]
 
 
 class MLP:
@@ -108,12 +112,15 @@ class MLP:
     def __call__(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         h = x
         n = len(params["layers"])
+        bf16 = x.dtype == jnp.bfloat16
         for i, p in enumerate(params["layers"]):
             if i in self.skips and i > 0:
                 h = jnp.concatenate([h, x], axis=-1)
             h = linear_apply(p, h)
             if i < n - 1:
                 h = self.act(h)
+                if bf16:  # keep hidden activations bf16; the OUTPUT stays f32
+                    h = h.astype(jnp.bfloat16)
         return self.out_act(h)
 
 

@@ -132,6 +132,7 @@ class NeuSField:
                  nablas_mode: str = "auto",
                  nablas_eps: Optional[float] = None,
                  remat: bool = True,
+                 compute_dtype: str = "float32",
                  eval_chunk: int = 65536):
         self.space = space or AABBSpace()
         self.geometry = geometry
@@ -155,6 +156,12 @@ class NeuSField:
             nablas_mode = "analytic" if geometry == "lotd" else "autodiff"
         self.nablas_mode = nablas_mode
         self.remat = remat
+        # 'bfloat16' runs the decoder/radiance MLP activations (and the
+        # encoding->decoder feature handoff) in bf16 with fp32 params +
+        # fp32 accumulation — the MXU's native mode. SDF/alpha math and
+        # nablas stay fp32 (the f32 matmul accumulators are the outputs).
+        self.compute_dtype = jnp.bfloat16 if compute_dtype in (
+            "bfloat16", "bf16") else jnp.float32
         self.eval_chunk = eval_chunk
         self.nablas_eps = nablas_eps  # resolved after encoding construction
 
@@ -222,7 +229,7 @@ class NeuSField:
             # sphere-init bias: start from an approximate sphere SDF so the
             # network has a sane initial surface (the reference pretrains to
             # capsule/road shapes explicitly; this is the zero-shot default).
-            out = self.decoder(params["decoder"], h)
+            out = self.decoder(params["decoder"], h.astype(self.compute_dtype))
             sdf = out[..., 0] * self.sdf_scale
             if self._geo_init_bias:
                 d_sphere = jnp.linalg.norm(x - self.space.center, axis=-1) \
@@ -282,13 +289,16 @@ class NeuSField:
                 h, Jh = self.encoding.with_jacobian(
                     params["encoding"], u, bidx=bidx, max_level=max_level)
                 out, dec_vjp = jax.vjp(
-                    lambda hh: self.decoder(params["decoder"], hh), h)
+                    lambda hh: self.decoder(params["decoder"], hh),
+                    h.astype(self.compute_dtype))
                 sdf = out[..., 0] * self.sdf_scale
                 feat = out[..., 1:]
                 cot = jnp.zeros_like(out).at[..., 0].set(1.0)
                 g_h, = dec_vjp(cot)                               # [..., F]
                 du_dx = 1.0 / (self.space.aabb_max - self.space.aabb_min)
-                nablas = jnp.einsum("...f,...fd->...d", g_h, Jh) \
+                nablas = jnp.einsum(
+                    "...f,...fd->...d", g_h, Jh.astype(g_h.dtype),
+                    preferred_element_type=jnp.float32) \
                     * du_dx * self.sdf_scale
                 if self._geo_init_bias:
                     delta = x - self.space.center
@@ -336,7 +346,9 @@ class NeuSField:
                 h_appear = jnp.zeros(x.shape[:-1] + (self.appear_embed_dim,), x.dtype)
             inputs.append(jnp.broadcast_to(
                 h_appear, x.shape[:-1] + (h_appear.shape[-1],)))
-        return self.radiance_net(params["radiance"], jnp.concatenate(inputs, axis=-1))
+        return self.radiance_net(
+            params["radiance"],
+            jnp.concatenate(inputs, axis=-1).astype(self.compute_dtype))
 
     # -- inv_s control ---------------------------------------------------------
     def forward_inv_s(self, params: Params, it: Optional[jnp.ndarray] = None,

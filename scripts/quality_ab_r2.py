@@ -47,7 +47,11 @@ def main():
     field = NeuSField(space, geometry="lotd", encoding_cfg=enc_cfg,
                       geo_feat_dim=15, decoder_hidden=64, radiance_hidden=64,
                       ln_inv_s_init=float(np.log(30.0)),
-                      cos_anneal_stop_it=300, remat=True,
+                      cos_anneal_stop_it=300,
+                      remat=os.environ.get("BENCH_REMAT", "1") == "1",
+                      compute_dtype=("bfloat16"
+                                     if os.environ.get("BENCH_BF16", "0") == "1"
+                                     else "float32"),
                       eval_chunk=2_000_000)
     renderer = SingleVolumeRenderer(
         {"cr": field,
