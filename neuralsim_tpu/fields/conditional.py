@@ -69,6 +69,7 @@ class ConditionalPermutoNeuSField(NeuSField):
         self.sdf_scale = 1.0
         self.nablas_mode = "numerical"
         self.remat = remat
+        self.compute_dtype = jnp.float32
         self.eval_chunk = eval_chunk
         self._geo_init_bias = radius_init
 
