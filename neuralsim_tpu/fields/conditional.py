@@ -67,7 +67,11 @@ class ConditionalPermutoNeuSField(NeuSField):
         self.inv_s_anneal_stop_it = inv_s_anneal_stop_it
         self.cos_anneal_stop_it = cos_anneal_stop_it
         self.sdf_scale = 1.0
-        self.nablas_mode = "numerical"
+        # analytic: contract the simplex weight-derivative with the already-
+        # gathered vertex features (permuto with_jacobian) — replaces the
+        # 5-point FD tap pass (1 encoding instead of 5, and a far cheaper
+        # backward). 'numerical' kept as the A/B oracle.
+        self.nablas_mode = "analytic"
         self.remat = remat
         self.compute_dtype = jnp.float32
         self.eval_chunk = eval_chunk
@@ -116,12 +120,12 @@ class ConditionalPermutoNeuSField(NeuSField):
         return p
 
     # -- geometry -------------------------------------------------------------
-    def _sdf_feat_impl(self, params: Params, x: jnp.ndarray,
-                       max_level, bidx: Optional[jnp.ndarray] = None,
-                       cond: Optional[jnp.ndarray] = None
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        u = self.space.normalize_coords(x)
-        parts = [u]
+    def _lattice_input(self, params: Params, x: jnp.ndarray,
+                       bidx: Optional[jnp.ndarray],
+                       cond: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """concat(x01, [sigmoid(z[bidx])], [t01]) — the reference's
+        GenerativePermutoConcat conditioning (batched_neus.py:380)."""
+        parts = [self.space.normalize_coords(x)]
         if self.n_instances > 0:
             if bidx is None:
                 bidx = jnp.zeros(x.shape[:-1], jnp.int32)
@@ -132,15 +136,60 @@ class ConditionalPermutoNeuSField(NeuSField):
             if cond is None:
                 cond = jnp.full(x.shape[:-1] + (1,), 0.5, x.dtype)
             parts.append(jnp.clip(cond, 0.0, 1.0))
-        h = self.encoding(params["encoding"], jnp.concatenate(parts, axis=-1),
+        return jnp.concatenate(parts, axis=-1)
+
+    def _sphere_bias(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.linalg.norm(x - self.space.center, axis=-1) \
+            - self._geo_init_bias * jnp.mean(self.space.half_extent)
+
+    def _sdf_feat_impl(self, params: Params, x: jnp.ndarray,
+                       max_level, bidx: Optional[jnp.ndarray] = None,
+                       cond: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h = self.encoding(params["encoding"],
+                          self._lattice_input(params, x, bidx, cond),
                           max_level=max_level)
         out = self.decoder(params["decoder"], h)
         sdf = out[..., 0]
         if self._geo_init_bias:
-            d_sphere = jnp.linalg.norm(x - self.space.center, axis=-1) \
-                - self._geo_init_bias * jnp.mean(self.space.half_extent)
-            sdf = sdf + d_sphere
+            sdf = sdf + self._sphere_bias(x)
         return sdf, out[..., 1:]
+
+    def sdf_nablas_feat(self, params: Params, x: jnp.ndarray,
+                        max_level: Optional[jnp.ndarray] = None,
+                        bidx: Optional[jnp.ndarray] = None,
+                        cond: Optional[jnp.ndarray] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Analytic nablas via the permuto interpolation jacobian (reuses the
+        forward's vertex gathers; see PermutoEncoding.with_jacobian). Falls
+        back to the base class's FD taps for nablas_mode='numerical'."""
+        if self.nablas_mode != "analytic":
+            return super().sdf_nablas_feat(params, x, max_level=max_level,
+                                           bidx=bidx, cond=cond)
+
+        def impl(params, x, bidx, cond):
+            full = self._lattice_input(params, x, bidx, cond)
+            h, Jh = self.encoding.with_jacobian(
+                params["encoding"], full, max_level=max_level, jac_dims=3)
+            out, dec_vjp = jax.vjp(
+                lambda hh: self.decoder(params["decoder"], hh), h)
+            sdf = out[..., 0]
+            feat = out[..., 1:]
+            cot = jnp.zeros_like(out).at[..., 0].set(1.0)
+            g_h, = dec_vjp(cot)                                   # [..., F]
+            du_dx = 1.0 / (self.space.aabb_max - self.space.aabb_min)
+            nablas = jnp.einsum("...f,...fd->...d", g_h, Jh,
+                                preferred_element_type=jnp.float32) * du_dx
+            if self._geo_init_bias:
+                sdf = sdf + self._sphere_bias(x)
+                delta = x - self.space.center
+                dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+                nablas = nablas + delta / jnp.clip(dist, 1e-8)
+            return sdf, nablas, feat
+
+        if self.remat:
+            impl = jax.checkpoint(impl)
+        return impl(params, x, bidx, cond)
 
     # -- batched query over instances ------------------------------------------
     def batched_ray_query(self, params: Params, rays_o: jnp.ndarray,

@@ -76,6 +76,15 @@ class PermutoEncoding:
         # elevation scale factors (Adams et al.)
         inv_std = math.sqrt(2.0 / 3.0) * (d + 1)
         self._sf = [1.0 / math.sqrt((i + 1) * (i + 2)) * inv_std for i in range(d)]
+        # constant d(elevated)/d(pos) matrix E [d+1, d] (see _simplex):
+        #   elevated[0]   = sum_c sf[c]*pos[c]
+        #   elevated[i>0] = sum_{c>=i} sf[c]*pos[c] - i*sf[i-1]*pos[i-1]
+        E = [[self._sf[c] for c in range(d)]]
+        for i in range(1, d + 1):
+            row = [self._sf[c] if c >= i else 0.0 for c in range(d)]
+            row[i - 1] -= i * self._sf[i - 1]
+            E.append(row)
+        self._E = E  # python floats; sliced to the needed columns at trace time
 
     # -- params -------------------------------------------------------------
     def init(self, key) -> Dict[str, jnp.ndarray]:
@@ -88,8 +97,14 @@ class PermutoEncoding:
         return {"table": (t * self.param_init_scale).astype(jnp.float32)}
 
     # -- lattice embedding ----------------------------------------------------
-    def _simplex(self, pos: jnp.ndarray):
-        """pos: [d, N] scaled coords -> (keys [d+1][d, N], bary [d+1, N])."""
+    def _simplex(self, pos: jnp.ndarray, jac_dims: int = 0):
+        """pos: [d, N] scaled coords -> (keys [d+1][d, N], bary [d+1, N]
+        [, dbary [d+1, jac_dims, N]]).
+
+        With ``jac_dims`` > 0 also returns the analytic d(bary)/d(pos[:jd])
+        — bary is linear in the elevation inside a simplex (rank/rem0 are
+        locally constant), so dbary = down * oh^T E restricted to the first
+        ``jac_dims`` position columns."""
         d = self.input_dim
         N = pos.shape[1]
 
@@ -153,14 +168,26 @@ class PermutoEncoding:
         for k in range(d + 1):
             off = jnp.where(rank >= (d + 1 - k), k - (d + 1), k)
             keys.append((rem0 + off).astype(jnp.int32)[: d])       # drop last coord
-        return keys, bary[: d + 1]
+        if not jac_dims:
+            return keys, bary[: d + 1]
+
+        # dbary_r/dpos_c = down * sum_i oh[i, r] * E[i, c]; the bary[0]
+        # correction adds bary[d+1]'s row. oh is piecewise-constant (per
+        # simplex), so this is exact away from simplex faces — the same
+        # regime where the FD taps are valid.
+        E = jnp.asarray([row[:jac_dims] for row in self._E], pos.dtype)
+        dbary = down * jnp.einsum("irN,ic->rcN", oh, E)            # [d+2, jd, N]
+        dbary = dbary.at[0].add(dbary[d + 1])
+        return keys, bary[: d + 1], dbary[: d + 1]
 
     def _level_features(self, table: jnp.ndarray, x01: jnp.ndarray, li: int,
-                        bidx: Optional[jnp.ndarray]) -> jnp.ndarray:
+                        bidx: Optional[jnp.ndarray],
+                        jac_dims: int = 0):
         res, nf = self.levels[li]
         off = self.offsets[li]
         pos = x01 * res                                            # [d, N]
-        keys, bary = self._simplex(pos)
+        simplex = self._simplex(pos, jac_dims=jac_dims)
+        keys, bary = simplex[0], simplex[1]
         sub = jax.lax.dynamic_slice_in_dim(table, off, self.table_size * nf,
                                            axis=table.ndim - 1)
         if bidx is None:
@@ -170,6 +197,7 @@ class PermutoEncoding:
             tbl = sub.reshape(B, nf, self.table_size) \
                 .transpose(1, 0, 2).reshape(nf, B * self.table_size)
         acc = None
+        jac = None
         for k in range(self.input_dim + 1):
             rows = _hash_keys(keys[k], self.table_size)
             if bidx is not None:
@@ -177,6 +205,12 @@ class PermutoEncoding:
             feats = gather_cols(tbl, rows)                         # [F, N]
             term = bary[k][None, :] * feats
             acc = term if acc is None else acc + term
+            if jac_dims:
+                # dfeat/dpos reuses the SAME gathered feats; dpos/dx01 = res
+                jterm = feats[:, None, :] * (simplex[2][k] * res)[None, :, :]
+                jac = jterm if jac is None else jac + jterm        # [F, jd, N]
+        if jac_dims:
+            return acc, jac
         return acc
 
     def __call__(self, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
@@ -194,6 +228,41 @@ class PermutoEncoding:
             outs.append(f)
         out = jnp.concatenate(outs, 0)                             # [F_total, N]
         return out.T.reshape(lead + (self.out_dim,))
+
+    def with_jacobian(self, params: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                      bidx: Optional[jnp.ndarray] = None,
+                      max_level: Optional[jnp.ndarray] = None,
+                      jac_dims: int = 3
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Encode AND return the analytic d(features)/dx[:jac_dims] jacobian.
+
+        The permuto analog of the LoTD ``with_jacobian`` (the nr3d_lib CUDA
+        dy_dx path): barycentric weights are linear in the elevation inside
+        a simplex, so the jacobian contracts the constant ``oh^T E`` weight
+        derivative with the SAME gathered vertex features — no extra table
+        gathers and no FD tap passes. Only the first ``jac_dims`` input dims
+        (the spatial xyz of a concat [xyz, latent, t] input) get derivative
+        columns. Differentiable again, so eikonal-through-render trains.
+
+        Returns (features [..., out_dim], jac [..., out_dim, jac_dims]) with
+        jac in units of the [0,1]-normalized input domain.
+        """
+        lead = x.shape[:-1]
+        xf = jnp.clip(x.reshape(-1, self.input_dim), 0.0, 1.0).T   # [d, N]
+        bf = None if bidx is None else jnp.broadcast_to(bidx, lead).reshape(-1)
+        outs, jacs = [], []
+        for li in range(self.n_levels):
+            f, j = self._level_features(params["table"], xf, li, bf,
+                                        jac_dims=jac_dims)
+            if max_level is not None:
+                f = f * (li <= max_level)
+                j = j * (li <= max_level)
+            outs.append(f)
+            jacs.append(j)
+        out = jnp.concatenate(outs, 0)                             # [F_total, N]
+        jac = jnp.concatenate(jacs, 0)                             # [F_total, jd, N]
+        return (out.T.reshape(lead + (self.out_dim,)),
+                jnp.moveaxis(jac, -1, 0).reshape(lead + (self.out_dim, jac_dims)))
 
     def max_level_at(self, it):
         if self.anneal_cfg is None:
