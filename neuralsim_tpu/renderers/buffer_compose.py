@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .buffers import merge_and_integrate
-from ..maths.transforms import apply_rotation
+from ..maths.transforms import (apply_rotation, apply_transform,
+                                inverse_transform)
 
 Params = Dict[str, Any]
 
@@ -43,34 +44,6 @@ class ObjectBinding:
         self.field = field
         self.query_cfg = dict(query_cfg)
         self.bidx = bidx  # instance index into a shared batched model
-
-
-def _compact_hit_rays(o_l, d_l, hit, budget):
-    """Order rays hit-first and keep ``budget`` of them.
-
-    Returns (sel [B] ray indices, o [B,3], d [B,3], hit_sel [B])."""
-    order = jnp.argsort(~hit)            # False(=hit) sorts first; stable
-    sel = order[:budget]
-    return sel, o_l[sel], d_l[sel], hit[sel]
-
-
-def _scatter_buffer(buf: Dict[str, Any], sel: jnp.ndarray, n_rays: int
-                    ) -> Dict[str, Any]:
-    """Expand a compacted [B, S, ...] volume buffer back to [N, S, ...]
-    (unselected rays: empty/masked-out)."""
-    out = {}
-    for k, v in buf.items():
-        if k == "details":
-            out[k] = {kk: (jnp.zeros((n_rays,) + vv.shape[1:], vv.dtype)
-                           .at[sel].set(vv)
-                           if hasattr(vv, "shape") and vv.ndim >= 1
-                           and vv.shape[0] == sel.shape[0] else vv)
-                      for kk, vv in v.items()}
-        elif hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == sel.shape[0]:
-            out[k] = jnp.zeros((n_rays,) + v.shape[1:], v.dtype).at[sel].set(v)
-        else:
-            out[k] = v
-    return out
 
 
 class BufferComposeRenderer:
@@ -127,36 +100,52 @@ class BufferComposeRenderer:
 
         # --- per-object queries, grouped per model so shared categorical
         # models evaluate ALL their instances in one batched program
-        # (reference batched_query_shared, buffer_compose_renderer.py:209-391)
+        # (reference batched_query_shared, buffer_compose_renderer.py:209-391).
+        # All pre/post work (ray transform, AABB test, hit compaction,
+        # scatter-back) is BATCHED over the K instances of a group — one set
+        # of ops per group, not K python-loop copies (compile time and step
+        # time both O(1) in K outside the field query itself).
         if not only_cr:
             for gi, (model_id, obs) in enumerate(self._grouped().items()):
                 kb = jax.random.fold_in(key, gi) if key is not None else None
-                sels, os_, ds_, dns, hits, valids = [], [], [], [], [], []
-                for ob in obs:
-                    o_l, d_l, dn = frozen.rays_to_node(ob.obj_id, rays_o, rays_d)
-                    n_, f_, hit = ob.field.space.ray_test(o_l, d_l)
-                    v = jnp.asarray(frozen.valid(ob.obj_id))
-                    hit = hit & (v if v.ndim else jnp.broadcast_to(v, hit.shape))
-                    sel, o_c, d_c, hit_c = _compact_hit_rays(o_l, d_l, hit, B)
-                    sels.append(sel)
-                    os_.append(o_c)
-                    ds_.append(d_c)
-                    dns.append(dn[sel])
-                    hits.append(hit_c)
-                    valids.append(v)
                 K = len(obs)
+                w = jnp.stack([frozen.world_transform(ob.obj_id)
+                               for ob in obs])              # [K,(N,)4,4]
+                scale = jnp.stack([frozen.data(ob.obj_id)["scale"]
+                                   for ob in obs])          # [K,(N,)3]
+                per_ray_tf = w.ndim > 3
+                if not per_ray_tf:
+                    w = w[:, None]                          # broadcast rays
+                if scale.ndim == 2:                         # [K,3] static scale
+                    scale = scale[:, None]
+                w2n = inverse_transform(w)
+                o_l = apply_transform(w2n, rays_o) / scale  # [K, N, 3]
+                d_s = apply_rotation(w2n, rays_d) / scale
+                dn = jnp.linalg.norm(d_s, axis=-1)          # [K, N]
+                d_l = d_s / jnp.clip(dn[..., None], 1e-9)
+                n_, f_, hit = obs[0].field.space.ray_test(o_l, d_l)
+                valid = jnp.stack(
+                    [jnp.broadcast_to(jnp.asarray(frozen.valid(ob.obj_id)),
+                                      (N,)) for ob in obs])
+                hit = hit & valid                           # [K, N]
+                # hit-first compaction to the fixed budget, batched over K
+                sel = jnp.argsort(~hit, axis=1)[:, :B]      # [K, B]
+                take = lambda a: jnp.take_along_axis(
+                    a, sel.reshape(sel.shape + (1,) * (a.ndim - 2)), axis=1)
+                o_c, d_c = take(o_l), take(d_l)             # [K, B, 3]
+                dn_c = take(dn[..., None])[..., 0]          # [K, B]
+                hit_c = take(hit[..., None])[..., 0]
                 qkw = dict(obs[0].query_cfg)
                 shared = obs[0].bidx is not None
-                o_all = jnp.concatenate(os_, 0)                # [K*B, 3]
-                d_all = jnp.concatenate(ds_, 0)
+                o_all = o_c.reshape(K * B, 3)
+                d_all = d_c.reshape(K * B, 3)
                 if shared:
-                    qkw["bidx"] = jnp.concatenate(
-                        [jnp.full((B,), ob.bidx, jnp.int32) for ob in obs])
+                    qkw["bidx"] = jnp.repeat(
+                        jnp.asarray([ob.bidx for ob in obs], jnp.int32), B)
                 if cond is not None and getattr(obs[0].field, "use_time",
                                                 False):
                     # per-ray normalized time, compacted like the rays
-                    qkw["cond"] = jnp.concatenate(
-                        [cond[sel] for sel in sels], 0)
+                    qkw["cond"] = cond[sel].reshape(K * B, cond.shape[-1])
                 if occ_states and model_id in occ_states \
                         and model_id in self.accels:
                     accel = self.accels[model_id]
@@ -169,30 +158,49 @@ class BufferComposeRenderer:
                         if bx is None else
                         accel.ray_proposal_batched(st, ro, rd, n_, f_, nc,
                                                    bx, key=k))
-                buf_all = ob.field.ray_query(params[model_id], o_all, d_all,
-                                             key=kb, it=it, with_rgb=with_rgb,
-                                             **qkw)
-                # split [K*B] -> per-object [B], convert + scatter back to [N]
+                buf_all = obs[0].field.ray_query(params[model_id], o_all,
+                                                 d_all, key=kb, it=it,
+                                                 with_rgb=with_rgb, **qkw)
+
+                # [K*B, ...] -> [K, B, ...]; world-t conversion, hit masking,
+                # nablas rotation, and scatter-back all batched over K
+                def resh(v):
+                    if hasattr(v, "shape") and v.ndim >= 1 \
+                            and v.shape[0] == K * B:
+                        return v.reshape((K, B) + v.shape[1:])
+                    return v
+                buf_b = {k: resh(v) for k, v in buf_all.items()
+                         if k != "details"}
+                det_b = {k: resh(v) for k, v in buf_all["details"].items()}
+                # object-frame t -> world t: world o_w + t_w*d_w maps to
+                # local o_l + (t_w*dn)*d_unit, so t_w = t_local / dn
+                buf_b["t"] = buf_b["t"] / jnp.clip(dn_c[..., None], 1e-9)
+                buf_b["mask"] = buf_b["mask"] & hit_c[..., None]
+                buf_b["alpha"] = jnp.where(buf_b["mask"], buf_b["alpha"], 0.0)
+                if "nablas" in buf_b:
+                    n2w = take(w) if per_ray_tf else w      # [K,B|1,4,4]
+                    buf_b["nablas"] = apply_rotation(n2w[:, :, None],
+                                                     buf_b["nablas"])
+
+                def scat(v):
+                    if hasattr(v, "shape") and v.ndim >= 2 \
+                            and v.shape[:2] == (K, B):
+                        return jax.vmap(
+                            lambda s, vv: jnp.zeros((N,) + vv.shape[1:],
+                                                    vv.dtype).at[s].set(vv)
+                        )(sel, v)
+                    return v
+                scattered = {k: scat(v) for k, v in buf_b.items()}
+                det_s = {k: scat(v) for k, v in det_b.items()}
                 for ki, ob in enumerate(obs):
-                    sl = slice(ki * B, (ki + 1) * B)
-                    buf = {k: (v[sl] if hasattr(v, "shape") and v.ndim >= 1
-                               and v.shape[0] == K * B else v)
-                           for k, v in buf_all.items() if k != "details"}
+                    buf = {k: (v[ki] if hasattr(v, "shape") and v.ndim >= 1
+                               and v.shape[0] == K else v)
+                           for k, v in scattered.items()}
                     buf["details"] = {
-                        k: (v[sl] if hasattr(v, "shape") and v.ndim >= 1
-                            and v.shape[0] == K * B else v)
-                        for k, v in buf_all["details"].items()}
-                    # object-frame t -> world t: world o_w + t_w*d_w maps to
-                    # local o_l + (t_w*dn)*d_unit, so t_w = t_local / dn
-                    buf["t"] = buf["t"] / jnp.clip(dns[ki][:, None], 1e-9)
-                    buf["mask"] = buf["mask"] & hits[ki][:, None]
-                    buf["alpha"] = jnp.where(buf["mask"], buf["alpha"], 0.0)
-                    if "nablas" in buf:
-                        n2w = frozen.world_transform(ob.obj_id)
-                        if n2w.ndim > 2:       # per-ray transforms: compact too
-                            n2w = n2w[sels[ki]][:, None, :, :]
-                        buf["nablas"] = apply_rotation(n2w, buf["nablas"])
-                    buffers.append(_scatter_buffer(buf, sels[ki], N))
+                        k: (v[ki] if hasattr(v, "shape") and v.ndim >= 1
+                            and v.shape[0] == K else v)
+                        for k, v in det_s.items()}
+                    buffers.append(buf)
                     names.append(ob.obj_id)
 
         # --- street / close-range scene model -------------------------------
