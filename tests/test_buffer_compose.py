@@ -66,6 +66,36 @@ def test_two_object_compose_depth_order():
     assert int(render_instance_segmentation(out)[0]) == 0
 
 
+def test_nonunit_scale_world_depth():
+    """Object-local sample depths must convert to WORLD t for scaled objects.
+
+    The SDF-init sphere has local radius ~0.5; at object scale s its world
+    radius is 0.5*s, so a ray from the origin toward the center at x=2 hits
+    at t = 2 - 0.5*s. (ADVICE r1 high: t conversion must divide by dn.)"""
+    for s, expect in ((0.5, 1.75), (2.0, 1.0)):
+        sc = _scenario()
+        del sc["objects"]["far_obj"]
+        sc["objects"]["near_obj"]["segments"][0]["data"]["scale"] = \
+            np.full((2, 3), s, np.float32)
+        scene = Scene.load_from_scenario(sc)
+        space = AABBSpace((-1, -1, -1), (1, 1, 1))
+        f = NeuSField(space, geometry="lotd",
+                      encoding_cfg={"n_levels": 2, "base_res": 8,
+                                    "max_res": 16, "log2_hashmap_size": 9},
+                      geo_feat_dim=4, radiance_hidden=16,
+                      ln_inv_s_init=float(np.log(60.0)))
+        qcfg = {"num_coarse": 48, "num_fine": (8,),
+                "upsample_inv_s_factors": (1.0,), "perturb": False}
+        r = BufferComposeRenderer(
+            scene, [ObjectBinding("near_obj", "m", f, qcfg)], {})
+        params = {"m": f.init(jax.random.PRNGKey(0))}
+        out = r.ray_query(params, scene.slice_at(0),
+                          jnp.asarray([[0.0, 0.0, 0.0]]),
+                          jnp.asarray([[1.0, 0.0, 0.0]]), key=None)
+        depth = float(out["depth_volume"][0])
+        assert abs(depth - expect) < 0.2, (s, depth)
+
+
 def test_compose_respects_validity():
     sc = _scenario()
     sc["objects"]["near_obj"]["segments"][0]["n_frames"] = 1  # only frame 0
