@@ -56,6 +56,15 @@ class BufferComposeRenderer:
     (the fixed-shape stand-in for exact hit compaction; objects covering
     more of the image than this drop the overflow rays). None disables
     compaction (exact, O(K*N)).
+
+    ``group_budget_frac``: if set, a shared categorical model group of K>1
+    instances gets ONE total budget of ``frac*N`` (instance, ray) pairs
+    instead of K per-instance budgets — the field-eval cost of the group is
+    then O(N*S) regardless of K (the fixed-shape analog of the reference's
+    exact hit compaction across all instances,
+    buffer_compose_renderer.py:209-391). Pairs are selected hit-first with
+    round-robin interleaving across instances, so no instance starves when
+    total hits exceed the budget.
     """
 
     def __init__(self, scene, objects: Sequence[ObjectBinding],
@@ -63,6 +72,7 @@ class BufferComposeRenderer:
                  obj_query_cfg: Optional[Dict] = None,
                  depth_use_normalized_vw: bool = True,
                  hit_budget_frac: Optional[float] = 0.5,
+                 group_budget_frac: Optional[float] = None,
                  accels: Optional[Dict[str, Any]] = None):
         self.scene = scene
         self.objects = list(objects)
@@ -72,6 +82,7 @@ class BufferComposeRenderer:
                               **(obj_query_cfg or {})}
         self.depth_use_normalized_vw = depth_use_normalized_vw
         self.hit_budget_frac = hit_budget_frac
+        self.group_budget_frac = group_budget_frac
         # role ('cr') or model_id -> OccGrid accel (state passed per call);
         # batched accels serve shared categorical models
         self.accels = dict(accels or {})
@@ -89,7 +100,8 @@ class BufferComposeRenderer:
                   h_appear: Optional[jnp.ndarray] = None,
                   cond: Optional[jnp.ndarray] = None,
                   occ_states: Optional[Dict[str, Any]] = None,
-                  return_buffer: bool = False) -> Dict[str, Any]:
+                  return_buffer: bool = False,
+                  with_per_obj: bool = True) -> Dict[str, Any]:
         """frozen: FrozenScene at the batch's frame indices (built inside the
         jitted caller so object poses stay differentiable)."""
         N = rays_o.shape[0]
@@ -128,24 +140,51 @@ class BufferComposeRenderer:
                     [jnp.broadcast_to(jnp.asarray(frozen.valid(ob.obj_id)),
                                       (N,)) for ob in obs])
                 hit = hit & valid                           # [K, N]
-                # hit-first compaction to the fixed budget, batched over K
-                sel = jnp.argsort(~hit, axis=1)[:, :B]      # [K, B]
-                take = lambda a: jnp.take_along_axis(
-                    a, sel.reshape(sel.shape + (1,) * (a.ndim - 2)), axis=1)
-                o_c, d_c = take(o_l), take(d_l)             # [K, B, 3]
-                dn_c = take(dn[..., None])[..., 0]          # [K, B]
-                hit_c = take(hit[..., None])[..., 0]
                 qkw = dict(obs[0].query_cfg)
                 shared = obs[0].bidx is not None
-                o_all = o_c.reshape(K * B, 3)
-                d_all = d_c.reshape(K * B, 3)
-                if shared:
-                    qkw["bidx"] = jnp.repeat(
-                        jnp.asarray([ob.bidx for ob in obs], jnp.int32), B)
-                if cond is not None and getattr(obs[0].field, "use_time",
-                                                False):
-                    # per-ray normalized time, compacted like the rays
-                    qkw["cond"] = cond[sel].reshape(K * B, cond.shape[-1])
+                pair_mode = (self.group_budget_frac is not None and shared
+                             and K > 1)
+                if pair_mode:
+                    # ONE group-wide budget of (instance, ray) pairs: the
+                    # j-th hit of every instance sorts with key j*K+k, so
+                    # instances are served round-robin up to Bg total rows.
+                    Bg = max(min(K * N,
+                                 int(round(N * self.group_budget_frac))), 1)
+                    rank = jnp.cumsum(hit, axis=1) - 1      # per-instance hit#
+                    keyv = jnp.where(hit, rank * K
+                                     + jnp.arange(K, dtype=jnp.int32)[:, None],
+                                     jnp.int32(K * N))
+                    order = jnp.argsort(keyv.reshape(-1))[:Bg]   # [Bg]
+                    k_idx = order // N
+                    r_idx = order % N
+                    hit_c = jnp.take(keyv.reshape(-1), order) < K * N
+                    o_all = o_l[k_idx, r_idx]               # [Bg, 3]
+                    d_all = d_l[k_idx, r_idx]
+                    dn_c = dn[k_idx, r_idx]                 # [Bg]
+                    qkw["bidx"] = jnp.asarray(
+                        [ob.bidx for ob in obs], jnp.int32)[k_idx]
+                    if cond is not None and getattr(obs[0].field, "use_time",
+                                                    False):
+                        qkw["cond"] = cond[r_idx]
+                else:
+                    # hit-first compaction to a per-instance budget, batched
+                    sel = jnp.argsort(~hit, axis=1)[:, :B]  # [K, B]
+                    take = lambda a: jnp.take_along_axis(
+                        a, sel.reshape(sel.shape + (1,) * (a.ndim - 2)),
+                        axis=1)
+                    o_c, d_c = take(o_l), take(d_l)         # [K, B, 3]
+                    dn_c = take(dn[..., None])[..., 0]      # [K, B]
+                    hit_c = take(hit[..., None])[..., 0]
+                    o_all = o_c.reshape(K * B, 3)
+                    d_all = d_c.reshape(K * B, 3)
+                    if shared:
+                        qkw["bidx"] = jnp.repeat(
+                            jnp.asarray([ob.bidx for ob in obs], jnp.int32),
+                            B)
+                    if cond is not None and getattr(obs[0].field, "use_time",
+                                                    False):
+                        # per-ray normalized time, compacted like the rays
+                        qkw["cond"] = cond[sel].reshape(K * B, cond.shape[-1])
                 if occ_states and model_id in occ_states \
                         and model_id in self.accels:
                     accel = self.accels[model_id]
@@ -162,13 +201,23 @@ class BufferComposeRenderer:
                                                  d_all, key=kb, it=it,
                                                  with_rgb=with_rgb, **qkw)
 
-                # [K*B, ...] -> [K, B, ...]; world-t conversion, hit masking,
-                # nablas rotation, and scatter-back all batched over K
-                def resh(v):
-                    if hasattr(v, "shape") and v.ndim >= 1 \
-                            and v.shape[0] == K * B:
-                        return v.reshape((K, B) + v.shape[1:])
-                    return v
+                # world-t conversion, hit masking, nablas rotation, and
+                # scatter-back, batched over the compacted rows
+                if pair_mode:
+                    rows = Bg
+                    def resh(v):
+                        return v                            # already [Bg, ...]
+                else:
+                    rows = (K, B)
+                    def resh(v):
+                        if hasattr(v, "shape") and v.ndim >= 1 \
+                                and v.shape[0] == K * B:
+                            return v.reshape((K, B) + v.shape[1:])
+                        return v
+                def is_rowed(v):
+                    return hasattr(v, "shape") and (
+                        v.shape[:1] == (rows,) if pair_mode
+                        else v.ndim >= 2 and v.shape[:2] == rows)
                 buf_b = {k: resh(v) for k, v in buf_all.items()
                          if k != "details"}
                 det_b = {k: resh(v) for k, v in buf_all["details"].items()}
@@ -178,18 +227,33 @@ class BufferComposeRenderer:
                 buf_b["mask"] = buf_b["mask"] & hit_c[..., None]
                 buf_b["alpha"] = jnp.where(buf_b["mask"], buf_b["alpha"], 0.0)
                 if "nablas" in buf_b:
-                    n2w = take(w) if per_ray_tf else w      # [K,B|1,4,4]
-                    buf_b["nablas"] = apply_rotation(n2w[:, :, None],
-                                                     buf_b["nablas"])
+                    if pair_mode:
+                        n2w = (w[k_idx, r_idx] if per_ray_tf
+                               else w[k_idx, 0])            # [Bg, 4, 4]
+                        buf_b["nablas"] = apply_rotation(n2w[:, None],
+                                                         buf_b["nablas"])
+                    else:
+                        n2w = take(w) if per_ray_tf else w  # [K,B|1,4,4]
+                        buf_b["nablas"] = apply_rotation(n2w[:, :, None],
+                                                         buf_b["nablas"])
 
-                def scat(v):
-                    if hasattr(v, "shape") and v.ndim >= 2 \
-                            and v.shape[:2] == (K, B):
+                if pair_mode:
+                    def scat(v):
+                        if not is_rowed(v):
+                            return v
+                        # `order` indexes the flattened [K*N] pair grid and
+                        # is unique, so one flat scatter restores [K, N, ...]
+                        tgt = jnp.zeros((K * N,) + v.shape[1:], v.dtype)
+                        return tgt.at[order].set(v).reshape(
+                            (K, N) + v.shape[1:])
+                else:
+                    def scat(v):
+                        if not is_rowed(v):
+                            return v
                         return jax.vmap(
                             lambda s, vv: jnp.zeros((N,) + vv.shape[1:],
                                                     vv.dtype).at[s].set(vv)
                         )(sel, v)
-                    return v
                 scattered = {k: scat(v) for k, v in buf_b.items()}
                 det_s = {k: scat(v) for k, v in det_b.items()}
                 for ki, ob in enumerate(obs):
@@ -240,12 +304,17 @@ class BufferComposeRenderer:
             buffers.append(buf)
             names.append("distant")
 
+        # training only consumes the street ('cr') decomposition; render/eval
+        # want every object's contribution (with_per_obj=True, the default)
+        per_idx = None if with_per_obj else \
+            [i for i, n in enumerate(names) if n in ("street", "distant")]
         rendered = merge_and_integrate(
             buffers, depth_use_normalized_vw=self.depth_use_normalized_vw,
-            with_per_src=True)
+            with_per_src=True, per_src_indices=per_idx)
         rendered["src_names"] = names
         rendered["rendered_per_obj_in_scene"] = {
-            n: r for n, r in zip(names, rendered["per_src"])}
+            n: r for n, r in zip(names, rendered["per_src"])
+            if r is not None}
         if "street" in names:
             rendered["rendered_cr"] = rendered["per_src"][names.index("street")]
             rendered["details_cr"] = buffers[names.index("street")]["details"]

@@ -48,6 +48,7 @@ def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
                         payload_keys: Optional[Sequence[str]] = None,
                         depth_use_normalized_vw: bool = True,
                         with_per_src: bool = False,
+                        per_src_indices: Optional[Sequence[int]] = None,
                         assume_sorted: bool = False) -> Dict[str, Any]:
     """Merge K model buffers by per-ray depth sort, composite once, and
     (optionally) decompose each source's contribution inside the total.
@@ -85,9 +86,17 @@ def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
     out = volume_integrate(merged, depth_use_normalized_vw=depth_use_normalized_vw)
     out["merged_buffer"] = merged
     if with_per_src:
+        # per_src_indices restricts which sources get the (O(K) masked-sum)
+        # decomposition — training only needs the street ('cr') entry, so the
+        # jitted step skips the K per-object decompositions entirely.
+        wanted = set(range(len(buffers))) if per_src_indices is None \
+            else set(per_src_indices)
         vw = out["vw"]
         per_src = []
         for i in range(len(buffers)):
+            if i not in wanted:
+                per_src.append(None)
+                continue
             sel = (merged["src"] == i) & merged["mask"]
             d: Dict[str, Any] = {
                 "mask_volume": masked_sum(vw, sel),

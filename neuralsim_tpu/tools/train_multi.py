@@ -35,7 +35,9 @@ def build_everything_multi(cfg):
         scene, bank, obj_query_cfg=dict(rcfg.get("obj_query_cfg", {})),
         cr_class=rcfg.get("cr_class", "Street"),
         distant_class=rcfg.get("distant_class", "Distant"),
-        sky_class=rcfg.get("sky_class", "Sky"))
+        sky_class=rcfg.get("sky_class", "Sky"),
+        hit_budget_frac=rcfg.get("hit_budget_frac", 0.5),
+        group_budget_frac=rcfg.get("group_budget_frac"))
     tcfg = cfg.get("training", {})
     trainer = MultiObjectTrainer(
         scene, renderer, loss_cfgs=dict(tcfg.get("losses", {})),

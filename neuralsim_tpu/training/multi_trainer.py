@@ -86,7 +86,7 @@ class MultiObjectTrainer:
             params, frozen, batch["rays_o"], batch["rays_d"],
             key=k_render, it=it, with_rgb=with_rgb, cond=cond,
             only_cr=(step_type == "lidar"), occ_states=occ,
-            return_buffer=True)
+            return_buffer=True, with_per_obj=False)
         buf = rendered.get("merged_buffer")
 
         losses: Dict[str, jnp.ndarray] = {}

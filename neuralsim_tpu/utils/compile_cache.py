@@ -15,16 +15,24 @@ from typing import Optional
 
 
 def _host_isa_key() -> str:
+    # Key on flags AND model/vendor: LLVM target features baked into AOT
+    # entries (e.g. +prefer-no-scatter) are chosen per MICROARCHITECTURE,
+    # so hosts with identical flag sets can still produce incompatible
+    # entries (observed: feature-mismatch E-logs from cpu_aot_loader).
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(
-                        " ".join(sorted(line.split()[2:])).encode()
-                    ).hexdigest()[:10]
+                if line.startswith(("flags", "model name", "vendor_id",
+                                    "cpu family", "model\t", "stepping")):
+                    parts.append(line.strip())
+                if line.startswith("power management"):  # end of first core
+                    break
     except OSError:
         pass
-    return "unknown"
+    if not parts:
+        return "unknown"
+    return hashlib.sha1("\n".join(sorted(set(parts))).encode()).hexdigest()[:10]
 
 
 def setup_compile_cache(path: Optional[str] = ".jax_cache") -> Optional[str]:

@@ -110,7 +110,9 @@ def run(K: int, n_rays: int = None, iters: int = None):
                 "model_params": {"hidden": 32},
                 "asset_params": {"training_cfg": {"lr": 3e-3}}},
     }, [scene])
-    renderer = BufferComposeRenderer.from_asset_bank(scene, bank)
+    gbf = os.environ.get("BENCH_GROUP_FRAC")  # pair-mode group budget
+    renderer = BufferComposeRenderer.from_asset_bank(
+        scene, bank, group_budget_frac=float(gbf) if gbf else None)
     trainer = MultiObjectTrainer(
         scene, renderer,
         loss_cfgs={"rgb": {"fn_type": "huber", "w": 10.0},

@@ -67,7 +67,10 @@ bank = AssetBank.create({
             "model_params": {"hidden": 32},
             "asset_params": {"training_cfg": {"lr": 3e-3}}},
 }, [scene])
-renderer = BufferComposeRenderer.from_asset_bank(scene, bank)
+import os  # noqa: E402
+_gbf = os.environ.get("BENCH_GROUP_FRAC")
+renderer = BufferComposeRenderer.from_asset_bank(
+    scene, bank, group_budget_frac=float(_gbf) if _gbf else None)
 trainer = MultiObjectTrainer(
     scene, renderer,
     loss_cfgs={"rgb": {"fn_type": "huber", "w": 10.0}, "eikonal": {"w": 0.01}},
@@ -143,7 +146,8 @@ chain(lambda p: renderer.ray_query(p, frozen, batch["rays_o"],
 
 # vehicles only (drop street/distant/sky)
 r_veh = BufferComposeRenderer(scene, renderer.objects, {},
-                              hit_budget_frac=renderer.hit_budget_frac)
+                              hit_budget_frac=renderer.hit_budget_frac,
+                              group_budget_frac=renderer.group_budget_frac)
 chain(lambda p: r_veh.ray_query(p, frozen, batch["rays_o"], batch["rays_d"],
                                 key=key, it=0, cond=cond)["rgb_volume"],
       "vehicle group fwd")

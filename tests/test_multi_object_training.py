@@ -156,3 +156,41 @@ def test_compaction_budget_limits_eval_cost(setup):
     np.testing.assert_allclose(np.asarray(r_half["rgb_volume"]),
                                np.asarray(r_full["rgb_volume"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_group_budget_pair_mode_parity(setup):
+    """group_budget_frac: ONE (instance, ray)-pair budget for the whole
+    shared-model group. With an ample budget it must reproduce the exact
+    (uncompacted) render; training through it stays finite."""
+    ds, scene, bank, renderer, trainer = setup
+    params = bank.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    b = ds.sample_pixels(rng, 256)
+    frozen = scene.slice_at(jnp.asarray(b["rays_fidx"]))
+    ro, rd = jnp.asarray(b["rays_o"]), jnp.asarray(b["rays_d"])
+
+    r_full = BufferComposeRenderer(
+        scene, renderer.objects, renderer.scene_models,
+        hit_budget_frac=None).ray_query(params, frozen, ro, rd, key=None)
+    r_pair = BufferComposeRenderer(
+        scene, renderer.objects, renderer.scene_models,
+        group_budget_frac=1.0).ray_query(params, frozen, ro, rd, key=None)
+    np.testing.assert_allclose(np.asarray(r_pair["rgb_volume"]),
+                               np.asarray(r_full["rgb_volume"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_pair["depth_volume"]),
+                               np.asarray(r_full["depth_volume"]),
+                               rtol=1e-4, atol=1e-4)
+
+    # one train step through the pair-mode renderer
+    r2 = BufferComposeRenderer(scene, renderer.objects,
+                               renderer.scene_models, group_budget_frac=0.5)
+    tr = MultiObjectTrainer(
+        scene, r2, loss_cfgs={"rgb": {"fn_type": "huber", "w": 10.0},
+                              "eikonal": {"w": 0.01}},
+        training_cfgs=bank.training_cfgs(), uniform_sample_n=64)
+    state = tr.init_state(jax.random.PRNGKey(1),
+                          params=bank.init_params(jax.random.PRNGKey(0)))
+    batch = {k: jnp.asarray(v) for k, v in ds.sample_pixels(rng, 256).items()}
+    state, m = tr.train_step(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss_total"]))
