@@ -65,6 +65,13 @@ class BufferComposeRenderer:
     buffer_compose_renderer.py:209-391). Pairs are selected hit-first with
     round-robin interleaving across instances, so no instance starves when
     total hits exceed the budget.
+
+    ``max_hits_per_ray``: in group-budget mode with ``with_per_obj=False``
+    (the training path), the queried rows are scattered into ``M`` per-ray
+    slot lanes ([N, M*S] — one pseudo-source for the whole group) instead
+    of K per-object [N, S] buffers, so the depth-merge sort and buffer
+    memory are ALSO K-independent. Rays overlapped by more than M instances
+    drop the (occluded) overflow.
     """
 
     def __init__(self, scene, objects: Sequence[ObjectBinding],
@@ -73,6 +80,7 @@ class BufferComposeRenderer:
                  depth_use_normalized_vw: bool = True,
                  hit_budget_frac: Optional[float] = 0.5,
                  group_budget_frac: Optional[float] = None,
+                 max_hits_per_ray: int = 4,
                  accels: Optional[Dict[str, Any]] = None):
         self.scene = scene
         self.objects = list(objects)
@@ -83,6 +91,7 @@ class BufferComposeRenderer:
         self.depth_use_normalized_vw = depth_use_normalized_vw
         self.hit_budget_frac = hit_budget_frac
         self.group_budget_frac = group_budget_frac
+        self.max_hits_per_ray = max_hits_per_ray
         # role ('cr') or model_id -> OccGrid accel (state passed per call);
         # batched accels serve shared categorical models
         self.accels = dict(accels or {})
@@ -254,18 +263,49 @@ class BufferComposeRenderer:
                             lambda s, vv: jnp.zeros((N,) + vv.shape[1:],
                                                     vv.dtype).at[s].set(vv)
                         )(sel, v)
-                scattered = {k: scat(v) for k, v in buf_b.items()}
-                det_s = {k: scat(v) for k, v in det_b.items()}
-                for ki, ob in enumerate(obs):
-                    buf = {k: (v[ki] if hasattr(v, "shape") and v.ndim >= 1
-                               and v.shape[0] == K else v)
-                           for k, v in scattered.items()}
-                    buf["details"] = {
-                        k: (v[ki] if hasattr(v, "shape") and v.ndim >= 1
-                            and v.shape[0] == K else v)
-                        for k, v in det_s.items()}
-                    buffers.append(buf)
-                    names.append(ob.obj_id)
+                if pair_mode and not with_per_obj:
+                    # training path: fold the whole group into ONE
+                    # pseudo-source of M per-ray slot lanes [N, M*S] — the
+                    # depth-merge sort and buffer memory stay O(M*S) per ray
+                    # no matter how many instances the scene has
+                    M = self.max_hits_per_ray
+                    r_for_slot = jnp.where(hit_c, r_idx, N)
+                    perm = jnp.argsort(r_for_slot)          # stable
+                    r_s = r_for_slot[perm]
+                    slot = jnp.arange(Bg) - jnp.searchsorted(r_s, r_s,
+                                                             side="left")
+                    flat_idx = jnp.where((r_s < N) & (slot < M),
+                                         r_s * M + slot, N * M)
+
+                    def slot_scat(v):
+                        if not is_rowed(v):
+                            return v
+                        vs = v[perm]
+                        tgt = jnp.zeros((N * M,) + v.shape[1:], v.dtype)
+                        out = tgt.at[flat_idx].set(vs, mode="drop") \
+                            .reshape((N, M) + v.shape[1:])
+                        if v.ndim >= 2:     # fold slots into the sample axis
+                            return out.reshape((N, M * v.shape[1])
+                                               + v.shape[2:])
+                        return out          # per-row scalars -> [N, M]
+                    gbuf = {k: slot_scat(v) for k, v in buf_b.items()}
+                    gbuf["details"] = {k: slot_scat(v)
+                                       for k, v in det_b.items()}
+                    buffers.append(gbuf)
+                    names.append(f"group:{model_id}")
+                else:
+                    scattered = {k: scat(v) for k, v in buf_b.items()}
+                    det_s = {k: scat(v) for k, v in det_b.items()}
+                    for ki, ob in enumerate(obs):
+                        buf = {k: (v[ki] if hasattr(v, "shape")
+                                   and v.ndim >= 1 and v.shape[0] == K else v)
+                               for k, v in scattered.items()}
+                        buf["details"] = {
+                            k: (v[ki] if hasattr(v, "shape") and v.ndim >= 1
+                                and v.shape[0] == K else v)
+                            for k, v in det_s.items()}
+                        buffers.append(buf)
+                        names.append(ob.obj_id)
 
         # --- street / close-range scene model -------------------------------
         cr_far = None

@@ -201,9 +201,11 @@ class MultiObjectTrainer:
         return total, {"losses": losses, "aux": aux}
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
+    @partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=(1,))
     def train_step(self, state: TrainState, batch, key,
-                   step_type: str = "pixel"):
+                   step_type: str = "pixel", cam_id: Optional[str] = None):
+        # cam_id is accepted (and ignored) for signature parity with
+        # Trainer.train_step so make_sharded_train_step works on both
         def loss_fn(p):
             return self.compute_losses(p, batch, state.it, key, step_type,
                                        occ=state.occ)

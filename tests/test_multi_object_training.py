@@ -182,6 +182,19 @@ def test_group_budget_pair_mode_parity(setup):
                                np.asarray(r_full["depth_volume"]),
                                rtol=1e-4, atol=1e-4)
 
+    # training path (with_per_obj=False): the group folds into M slot lanes;
+    # must still reproduce the exact render when M covers the overlaps
+    r_slot = BufferComposeRenderer(
+        scene, renderer.objects, renderer.scene_models,
+        group_budget_frac=1.0).ray_query(params, frozen, ro, rd, key=None,
+                                         with_per_obj=False)
+    np.testing.assert_allclose(np.asarray(r_slot["rgb_volume"]),
+                               np.asarray(r_full["rgb_volume"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_slot["depth_volume"]),
+                               np.asarray(r_full["depth_volume"]),
+                               rtol=1e-4, atol=1e-4)
+
     # one train step through the pair-mode renderer
     r2 = BufferComposeRenderer(scene, renderer.objects,
                                renderer.scene_models, group_budget_frac=0.5)
