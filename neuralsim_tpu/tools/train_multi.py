@@ -37,7 +37,12 @@ def build_everything_multi(cfg):
         distant_class=rcfg.get("distant_class", "Distant"),
         sky_class=rcfg.get("sky_class", "Sky"),
         hit_budget_frac=rcfg.get("hit_budget_frac", 0.5),
-        group_budget_frac=rcfg.get("group_budget_frac"))
+        # training default: ONE frac*N pair budget for each shared-model
+        # group (K-independent cost; set null in config for per-instance
+        # budgets). Render/eval tools build their own renderer with the
+        # exact per-object path.
+        group_budget_frac=rcfg.get("group_budget_frac", 1.0),
+        max_hits_per_ray=rcfg.get("max_hits_per_ray", 4))
     tcfg = cfg.get("training", {})
     trainer = MultiObjectTrainer(
         scene, renderer, loss_cfgs=dict(tcfg.get("losses", {})),
