@@ -208,6 +208,160 @@ class ConditionalPermutoNeuSField(NeuSField):
         return jnp.mean(jnp.sum(params["latents"] ** 2, axis=-1))
 
 
+class ConditionalLoTDNeuSField(NeuSField):
+    """Gather-free conditional NeuS: shared LoTD (all-CP) geometry over x,
+    with the per-instance latent (and optional time embedding) concatenated
+    into the SDF decoder input.
+
+    The faithful TPU analog of the reference's style/latent-modulated LoTD
+    family (``StyleLoTDNeuSModel`` / ``DITNeuS`` — shared/batched_neus.py:35,
+    285: an LoTD backbone whose MLP is modulated by a per-instance style
+    latent). Versus the permuto-concat field above, the conditioning moves
+    from the lattice input to the decoder input, so the encoding stays 3-D
+    and can use the gather-free CP tent-matmul levels — measured ~10x
+    cheaper fwd+bwd than the permutohedral hash path on the v5e (PERF.md:
+    the K=8 vehicle permuto group was 95% of the multi-object step, and its
+    hash scatter-add made backward 2.6x forward). Right fidelity tradeoff
+    for RIGID categorical assets (vehicles): per-instance identity needs no
+    lattice deformation. Deformable/dynamic categories keep the permuto
+    lattice (``ConditionalPermutoNeuSField``).
+    """
+
+    def __init__(self, space: AABBSpace = None, *,
+                 n_instances: int = 0, z_dim: int = 8,
+                 use_time: bool = False, t_n_freqs: int = 2,
+                 encoding_cfg: Optional[Dict] = None,
+                 latent_init_scale: float = 1e-2,
+                 **neus_kw):
+        enc = dict(encoding_cfg or {})
+        enc.setdefault("type", "tpu_mixed")
+        enc.setdefault("n_levels", 10)
+        enc.setdefault("base_res", 8)
+        enc.setdefault("max_res", 256)
+        enc.setdefault("n_feats", 4)
+        enc.setdefault("n_hash_levels", 0)       # gather-free default
+        enc.setdefault("cp_max_res", 512)
+        neus_kw.setdefault("radius_init", 0.4)
+        super().__init__(space, geometry="lotd", encoding_cfg=enc, **neus_kw)
+        self.n_instances = n_instances
+        self.z_dim = z_dim if n_instances > 0 else 0
+        self.use_time = use_time
+        self.latent_init_scale = latent_init_scale
+        if use_time:
+            from .embedders import sinusoidal_embedder
+            self.t_embed, self.t_dim = sinusoidal_embedder(
+                t_n_freqs, 1, include_input=True)
+        else:
+            self.t_embed, self.t_dim = None, 0
+        # rebuild the decoder for the widened input (encoding + z + t)
+        dec_in = self.encoding.out_dim + self.z_dim + self.t_dim
+        self.decoder = MLP(dec_in, 1 + self.geo_feat_dim,
+                           hidden=self.decoder.hidden, depth=self.decoder.depth,
+                           activation="relu")
+
+    def init(self, key) -> Params:
+        k0, k1 = jax.random.split(key)
+        p = super().init(k0)
+        if self.n_instances > 0:
+            p["latents"] = jax.random.normal(
+                k1, (self.n_instances, self.z_dim)) * self.latent_init_scale
+        return p
+
+    # -- conditioning ----------------------------------------------------------
+    def _cond_feats(self, params: Params, lead: Tuple[int, ...],
+                    bidx: Optional[jnp.ndarray],
+                    cond: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+        """[..., z_dim + t_dim] decoder-side conditioning row per point."""
+        parts = []
+        if self.n_instances > 0:
+            if bidx is None:
+                bidx = jnp.zeros(lead, jnp.int32)
+            parts.append(jnp.take(params["latents"],
+                                  jnp.broadcast_to(bidx, lead), axis=0,
+                                  mode="clip"))
+        if self.use_time:
+            if cond is None:
+                cond = jnp.full(lead + (1,), 0.5, jnp.float32)
+            parts.append(self.t_embed(
+                jnp.broadcast_to(jnp.clip(cond, 0.0, 1.0), lead + (1,))))
+        if not parts:
+            return None
+        return jnp.concatenate(parts, axis=-1)
+
+    # -- geometry ---------------------------------------------------------------
+    def _sdf_feat_impl(self, params: Params, x: jnp.ndarray,
+                       max_level, bidx: Optional[jnp.ndarray] = None,
+                       cond: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        u = self.space.normalize_coords(x)
+        h = self.encoding(params["encoding"], u, max_level=max_level)
+        zf = self._cond_feats(params, x.shape[:-1], bidx, cond)
+        if zf is not None:
+            h = jnp.concatenate([h, zf.astype(h.dtype)], axis=-1)
+        out = self.decoder(params["decoder"], h.astype(self.compute_dtype))
+        sdf = out[..., 0] * self.sdf_scale
+        if self._geo_init_bias:
+            d_sphere = jnp.linalg.norm(x - self.space.center, axis=-1) \
+                - self._geo_init_bias * jnp.mean(self.space.half_extent)
+            sdf = sdf + d_sphere
+        return sdf, out[..., 1:]
+
+    def sdf_nablas_feat(self, params: Params, x: jnp.ndarray,
+                        max_level: Optional[jnp.ndarray] = None,
+                        bidx: Optional[jnp.ndarray] = None,
+                        cond: Optional[jnp.ndarray] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Analytic nablas through the 3-D encoding jacobian. z/t are
+        constant w.r.t. x, so the decoder vjp is taken only against the
+        encoding slice of its input (zf is closed over)."""
+        if self.nablas_mode != "analytic":
+            return super().sdf_nablas_feat(params, x, max_level=max_level,
+                                           bidx=bidx, cond=cond)
+
+        def impl(params, x, bidx, cond):
+            u = self.space.normalize_coords(x)
+            h, Jh = self.encoding.with_jacobian(
+                params["encoding"], u, max_level=max_level)
+            zf = self._cond_feats(params, x.shape[:-1], bidx, cond)
+
+            def dec(hh):
+                inp = hh if zf is None else jnp.concatenate(
+                    [hh, zf.astype(hh.dtype)], axis=-1)
+                return self.decoder(params["decoder"], inp)
+
+            out, dec_vjp = jax.vjp(dec, h.astype(self.compute_dtype))
+            sdf = out[..., 0] * self.sdf_scale
+            feat = out[..., 1:]
+            cot = jnp.zeros_like(out).at[..., 0].set(1.0)
+            g_h, = dec_vjp(cot)                                   # [..., F]
+            du_dx = 1.0 / (self.space.aabb_max - self.space.aabb_min)
+            nablas = jnp.einsum(
+                "...f,...fd->...d", g_h, Jh.astype(g_h.dtype),
+                preferred_element_type=jnp.float32) * du_dx * self.sdf_scale
+            if self._geo_init_bias:
+                delta = x - self.space.center
+                dist = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+                sdf = sdf + (dist[..., 0] - self._geo_init_bias
+                             * jnp.mean(self.space.half_extent))
+                nablas = nablas + delta / jnp.clip(dist, 1e-8)
+            return sdf, nablas, feat
+
+        if self.remat:
+            impl = jax.checkpoint(impl)
+        return impl(params, x, bidx, cond)
+
+    # -- batched/latent API (same surface as the permuto conditional) ----------
+    def batched_ray_query(self, params: Params, rays_o, rays_d, rays_bidx, *,
+                          key=None, it=None, **query_kw) -> Dict[str, Any]:
+        return self.ray_query(params, rays_o, rays_d, key=key, it=it,
+                              bidx=rays_bidx, **query_kw)
+
+    def latent_norm(self, params: Params) -> jnp.ndarray:
+        if self.n_instances == 0:
+            return jnp.asarray(0.0)
+        return jnp.mean(jnp.sum(params["latents"] ** 2, axis=-1))
+
+
 def PermutoNeuSField(space=None, **kw):
     """Plain (unconditioned) permutohedral NeuS — reference PermutoNeuSModel."""
     return ConditionalPermutoNeuSField(space, n_instances=0, use_time=False, **kw)

@@ -502,14 +502,78 @@ class PermutoNeuSObj(AssetModel):
         self.query_cfg = dict(mp.get("query_cfg", {}))
 
 
-class StyleLoTDNeuSObj(ADGenerativePermutoConcatNeuSObj):
+class ADGenerativeLoTDConcatNeuSObj(ADGenerativePermutoConcatNeuSObj):
+    """Categorical shared model on the GATHER-FREE backbone: one all-CP LoTD
+    NeuS for all instances of a class, per-instance latents concatenated
+    into the SDF decoder (``ConditionalLoTDNeuSField``).
+
+    TPU flagship for RIGID categorical assets (vehicles). Same asset surface
+    as ``ADGenerativePermutoConcatNeuSObj`` (instance_index, batched occ
+    grid, batched queries, latent_norm) but the field evaluation is pure
+    tent-matmul MXU work — no hash gathers forward, no scatter-adds
+    backward. Reference analogs: ``AD_GenerativePermutoConcatNeuSObj``
+    capability-wise (shared/batched_neus.py:295) and ``StyleLoTDNeuSModel``
+    architecture-wise (latent-modulated LoTD, shared/batched_neus.py:35).
+    ``encoding_cfg`` takes the LoTD (tpu_mixed) schema; ``permuto_cfg`` is
+    accepted and ignored for config compatibility."""
+
+    use_time = False
+
+    def populate(self, scene=None, obj_ids=None) -> None:
+        from ..accel import OccGridEmaBatched
+        from ..fields.conditional import ConditionalLoTDNeuSField
+        mp = self.model_params
+        obj_ids = list(obj_ids or [])
+        self.instance_index = {oid: i for i, oid in enumerate(obj_ids)}
+        aspect = np.ones(3, np.float32)
+        if scene is not None and obj_ids:
+            scales = []
+            for oid in obj_ids:
+                sc = np.asarray(scene.drawables[oid].frame_data["scale"])
+                valid = np.asarray(scene.drawables[oid].frame_data["valid"])
+                if valid.any():
+                    scales.append(sc[valid].mean(0))
+            if scales:
+                aspect = np.mean(scales, 0)
+                aspect = aspect / max(aspect.max(), 1e-6)
+        space = AABBSpace(-aspect, aspect)
+        self.field = ConditionalLoTDNeuSField(
+            space,
+            n_instances=max(len(obj_ids), 1),
+            z_dim=mp.get("z_dim", 8),
+            use_time=self.use_time,
+            encoding_cfg=mp.get("encoding_cfg"),
+            geo_feat_dim=mp.get("geo_feat_dim", 15),
+            radiance_hidden=mp.get("radiance_hidden", 64),
+            ln_inv_s_init=float(np.log(mp.get("inv_s_init", 20.0))),
+            cos_anneal_stop_it=mp.get("cos_anneal_stop_it", 0),
+            remat=mp.get("remat", False))
+        self.query_cfg = dict(mp.get("query_cfg", {}))
+        accel_cfg = mp.get("accel_cfg")
+        if accel_cfg:
+            self.accel = OccGridEmaBatched(
+                space, n_instances=max(len(obj_ids), 1),
+                resolution=accel_cfg.get("resolution", 32),
+                occ_thre=accel_cfg.get("occ_thre", 0.3),
+                ema_decay=accel_cfg.get("ema_decay", 0.95),
+                occ_inv_s=accel_cfg.get("inv_s", 256.0))
+
+
+class ADDynamicGenerativeLoTDConcatNeuSObj(ADGenerativeLoTDConcatNeuSObj):
+    """Time-conditioned variant of the gather-free categorical model (time
+    enters the decoder as a small sinusoidal embedding). For strongly
+    deforming categories prefer the permuto-lattice variant."""
+
+    use_time = True
+
+
+class StyleLoTDNeuSObj(ADGenerativeLoTDConcatNeuSObj):
     """Config-name-compatible alias for the reference's style/latent-
     conditioned shared NeuS family (StyleLoTDNeuSObj,
-    shared/batched_neus.py:35). TPU design note: the style-modulated LoTD
-    backbone is replaced by the latent-concat permutohedral conditional
-    field (`fields/conditional.py`) — same capability (one shared generative
-    model, per-instance latents, batched queries), different (and on TPU
-    faster) encoding. ``z_dim`` maps the reference's style latent width."""
+    shared/batched_neus.py:35). Backed by ``ConditionalLoTDNeuSField`` —
+    architecturally the same idea as the reference (an LoTD backbone whose
+    MLP is modulated by a per-instance latent), realized with gather-free
+    CP levels. ``z_dim`` maps the reference's style latent width."""
 
 
 class ADStyleLoTDNeuSObj(StyleLoTDNeuSObj):

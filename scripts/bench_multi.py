@@ -76,13 +76,12 @@ def make_scenario(K: int, T: int = 4):
     }
 
 
-def run(K: int, n_rays: int = None, iters: int = None):
+def vehicle_model_cfg():
+    """BENCH_VEH=cp (default) — gather-free latent-concat LoTD categorical
+    model; BENCH_VEH=permuto — the permuto-lattice-concat variant."""
     import os
-    n_rays = n_rays or int(os.environ.get("BENCH_RAYS", "8192"))
-    iters = iters or int(os.environ.get("BENCH_ITERS", "20"))
-    scene = Scene.load_from_scenario(make_scenario(K))
-    bank = AssetBank.create({
-        "Vehicle": {
+    if os.environ.get("BENCH_VEH", "cp") == "permuto":
+        return {
             "model_class": "neuralsim_tpu.models.assets."
                            "ADGenerativePermutoConcatNeuSObj",
             "model_params": {
@@ -92,7 +91,27 @@ def run(K: int, n_rays: int = None, iters: int = None):
                 "geo_feat_dim": 8, "radiance_hidden": 32, "inv_s_init": 40.0,
                 "query_cfg": {"num_coarse": 24, "num_fine": (8,),
                               "upsample_inv_s_factors": (1.0,)}},
-            "asset_params": {"training_cfg": {"lr": 8e-3}}},
+            "asset_params": {"training_cfg": {"lr": 8e-3}}}
+    return {
+        "model_class": "neuralsim_tpu.models.assets."
+                       "ADGenerativeLoTDConcatNeuSObj",
+        "model_params": {
+            "z_dim": 8,
+            "encoding_cfg": {"n_levels": 8, "base_res": 8, "max_res": 256,
+                             "n_feats": 4, "cp_max_res": 256},
+            "geo_feat_dim": 8, "radiance_hidden": 32, "inv_s_init": 40.0,
+            "query_cfg": {"num_coarse": 24, "num_fine": (8,),
+                          "upsample_inv_s_factors": (1.0,)}},
+        "asset_params": {"training_cfg": {"lr": 8e-3}}}
+
+
+def run(K: int, n_rays: int = None, iters: int = None):
+    import os
+    n_rays = n_rays or int(os.environ.get("BENCH_RAYS", "8192"))
+    iters = iters or int(os.environ.get("BENCH_ITERS", "20"))
+    scene = Scene.load_from_scenario(make_scenario(K))
+    bank = AssetBank.create({
+        "Vehicle": vehicle_model_cfg(),
         "Street": {
             "model_class": "neuralsim_tpu.models.assets.LoTDNeuSStreet",
             "model_params": {
