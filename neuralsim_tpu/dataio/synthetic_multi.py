@@ -106,7 +106,7 @@ class SyntheticMultiObjectDataset:
         return out
 
     # -- scenario with per-frame object segments ------------------------------
-    def get_scenario(self) -> Dict:
+    def get_scenario(self, scene_id: str = None) -> Dict:
         T = self.n_frames
 
         def obj_entry(get_center, radius):
@@ -139,6 +139,20 @@ class SyntheticMultiObjectDataset:
                              "scale": np.ones((T, 3), np.float32)}}]},
             },
         }
+
+    # -- SceneDataset-style accessors so SceneDataLoader/PixelSampler work
+    # (the camera-pixel path: in-jit ray lifting, error maps, pose deltas)
+    def scene_ids(self):
+        return ["synthetic_multi"]
+
+    def get_image(self, scene_id: str, cam_id: str, fi: int) -> np.ndarray:
+        return self.render_frame(fi)["image_rgb"]
+
+    def get_occupancy_mask(self, scene_id: str, cam_id: str, fi: int):
+        return self.render_frame(fi)["image_occupancy_mask"]
+
+    def get_lidar(self, scene_id: str, lidar_id: str, fi: int):
+        return None
 
     def sample_pixels(self, rng, n: int) -> Dict[str, np.ndarray]:
         fidx = rng.integers(0, self.n_frames, n)

@@ -131,9 +131,9 @@ class NeuSField:
                  sdf_scale: float = 1.0,
                  nablas_mode: str = "auto",
                  nablas_eps: Optional[float] = None,
-                 remat: bool = True,
+                 remat="auto",
                  compute_dtype: str = "float32",
-                 eval_chunk: int = 65536):
+                 eval_chunk="auto"):
         self.space = space or AABBSpace()
         self.geometry = geometry
         self.geo_feat_dim = geo_feat_dim
@@ -155,7 +155,7 @@ class NeuSField:
         if nablas_mode == "auto":
             nablas_mode = "analytic" if geometry == "lotd" else "autodiff"
         self.nablas_mode = nablas_mode
-        self.remat = remat
+        self.remat = remat  # resolved below once the encoding exists
         # 'bfloat16' runs the decoder/radiance MLP activations (and the
         # encoding->decoder feature handoff) in bf16 with fp32 params +
         # fp32 accumulation — the MXU's native mode. SDF/alpha math and
@@ -182,6 +182,20 @@ class NeuSField:
             self._geo_init_bias = 0.0
         else:
             raise ValueError(geometry)
+
+        # 'auto' remat / eval_chunk: rematerialization + chunked evaluation
+        # exist to bound the HBM of per-corner GATHER temps (hash levels) —
+        # for gather-free plans (dense/CP-only LoTD) they are pure overhead
+        # (measured: remat off took the all-CP flagship 209k -> 275k rays/s,
+        # PERF.md r2 step 13). Hash levels (and big PE-MLPs) keep both.
+        has_gather_levels = (
+            self.encoding is not None
+            and any(s.typ == "hash" for s in self.encoding.specs))
+        if self.remat == "auto":
+            self.remat = has_gather_levels or geometry == "mlp_pe"
+        if self.eval_chunk in ("auto", None):
+            self.eval_chunk = 65536 if (has_gather_levels
+                                        or geometry == "mlp_pe") else 2_000_000
 
         if self.nablas_eps is None:
             if self.encoding is not None:

@@ -85,7 +85,9 @@ class LoTDNeuSObj(AssetModel):
             radiance_hidden=mp.get("radiance_hidden", 64),
             ln_inv_s_init=float(np.log(mp.get("inv_s_init", 20.0))),
             cos_anneal_stop_it=mp.get("cos_anneal_stop_it", 0),
-            appear_embed_dim=mp.get("appear_embed_dim", 0))
+            appear_embed_dim=mp.get("appear_embed_dim", 0),
+            remat=mp.get("remat", "auto"),
+            eval_chunk=mp.get("eval_chunk", "auto"))
         self.query_cfg = dict(mp.get("query_cfg", {}))
         accel_cfg = mp.get("accel_cfg")
         if accel_cfg:
@@ -141,7 +143,9 @@ class LoTDNeuSStreet(AssetModel):
             inv_s_anneal_stop_it=mp.get("inv_s_anneal_stop_it", 0),
             cos_anneal_stop_it=mp.get("cos_anneal_stop_it", 0),
             appear_embed_dim=mp.get("appear_embed_dim", 0),
-            sdf_scale=mp.get("sdf_scale", 1.0))
+            sdf_scale=mp.get("sdf_scale", 1.0),
+            remat=mp.get("remat", "auto"),
+            eval_chunk=mp.get("eval_chunk", "auto"))
         self.query_cfg = dict(mp.get("query_cfg", {}))
         accel_cfg = mp.get("accel_cfg", {"resolution": 128})
         if accel_cfg:
@@ -547,7 +551,7 @@ class ADGenerativeLoTDConcatNeuSObj(ADGenerativePermutoConcatNeuSObj):
             radiance_hidden=mp.get("radiance_hidden", 64),
             ln_inv_s_init=float(np.log(mp.get("inv_s_init", 20.0))),
             cos_anneal_stop_it=mp.get("cos_anneal_stop_it", 0),
-            remat=mp.get("remat", False))
+            remat=mp.get("remat", "auto"))
         self.query_cfg = dict(mp.get("query_cfg", {}))
         accel_cfg = mp.get("accel_cfg")
         if accel_cfg:

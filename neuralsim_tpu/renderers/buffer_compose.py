@@ -95,6 +95,19 @@ class BufferComposeRenderer:
         # role ('cr') or model_id -> OccGrid accel (state passed per call);
         # batched accels serve shared categorical models
         self.accels = dict(accels or {})
+        # optional per-ray image postprocessor asset (reference compose-path
+        # postprocess, buffer_compose_renderer.py:810-829)
+        self.postprocessor = None
+
+    def set_postprocessor(self, asset, model_id: str):
+        self.postprocessor = (asset, model_id)
+
+    def apply_postprocess(self, params: Params, rgb: jnp.ndarray,
+                          fidx: jnp.ndarray) -> jnp.ndarray:
+        if self.postprocessor is None:
+            return rgb
+        asset, mid = self.postprocessor
+        return asset.apply(params[mid], rgb, fidx)
 
     # ------------------------------------------------------------------
     def _grouped(self):
@@ -316,6 +329,8 @@ class BufferComposeRenderer:
             qcfg = dict(qcfg)
             if cond is not None and getattr(field, "use_time", False):
                 qcfg["cond"] = cond
+            if h_appear is not None and getattr(field, "appear_embed_dim", 0):
+                qcfg["h_appear"] = h_appear
             if occ_states and "cr" in occ_states and "cr" in self.accels:
                 accel = self.accels["cr"]
                 st = occ_states["cr"]

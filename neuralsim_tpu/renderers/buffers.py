@@ -14,14 +14,21 @@ from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 
-from ..ops.segment import alpha_to_vw, masked_sum, merge_sorted_buffers
+from ..ops.segment import (alpha_to_vw, cross_source_vw, masked_sum,
+                           merge_sorted_buffers)
 
 
 def volume_integrate(buf: Dict[str, Any], *, depth_use_normalized_vw: bool = True,
                      normalize_normals: bool = False) -> Dict[str, Any]:
     """Integrate one dense volume buffer {t, mask, alpha, rgb?, nablas?, feat?}
-    into per-ray outputs. All shapes [N, S(, C)] -> [N(, C)]."""
-    vw = alpha_to_vw(buf["alpha"], buf["mask"])          # [N, S]
+    into per-ray outputs. All shapes [N, S(, C)] -> [N(, C)].
+
+    If the buffer carries a precomputed ``vw`` (the order-free cross-source
+    composite of an unsorted merged buffer), it is used directly — the masked
+    sums below are order-independent, so no reordering is ever needed."""
+    vw = buf.get("vw")
+    if vw is None:
+        vw = alpha_to_vw(buf["alpha"], buf["mask"])      # [N, S]
     out: Dict[str, Any] = {}
     vw_sum = masked_sum(vw, buf["mask"])                  # [N]
     out["mask_volume"] = vw_sum
@@ -49,21 +56,30 @@ def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
                         depth_use_normalized_vw: bool = True,
                         with_per_src: bool = False,
                         per_src_indices: Optional[Sequence[int]] = None,
-                        assume_sorted: bool = False) -> Dict[str, Any]:
-    """Merge K model buffers by per-ray depth sort, composite once, and
-    (optionally) decompose each source's contribution inside the total.
+                        assume_sorted: bool = False,
+                        sort_free: bool = True) -> Dict[str, Any]:
+    """Merge K model buffers, composite once, and (optionally) decompose
+    each source's contribution inside the total.
 
     TPU analog of the reference's multi-buffer path: scatter + global
     ``packed_sort`` + single alpha-composite + ``vw_in_total`` decomposition
     (buffer_compose_renderer.py:649-806; merge_two_packs_sorted,
     single_volume_renderer.py:337-407).
 
+    ``sort_free`` (default): the merged buffer stays UNSORTED (plain lane
+    concatenation) and exact visibility weights come from the order-free
+    cross-source composite (``cross_source_vw`` — one fused compare-reduce;
+    identical to a stable depth sort). The per-ray sort + 4 payload gathers
+    it replaces cost ~55 ms/step at [8192, 160] on the v5e (XLA trace).
+    Every downstream consumer (masked sums here, per-sample LoS losses) is
+    order-independent. ``sort_free=False`` keeps the sort-based oracle.
+
     ``assume_sorted``: the buffers are depth-DISJOINT in order (every valid
     sample of buffer k precedes buffer k+1's — e.g. cr then distant, where
     distant's near is cr's far). Then plain concatenation is already
     depth-ordered over valid lanes (invalid lanes have alpha 0 and are
-    transparent to the transmittance cumprod), and the per-ray sorts are
-    skipped entirely.
+    transparent to the transmittance cumprod), and neither sort nor
+    cross-composite is needed.
     """
     if payload_keys is None:
         payload_keys = [k for k in ("alpha", "rgb", "nablas", "feat")
@@ -71,7 +87,7 @@ def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
     if len(buffers) == 1:
         merged = dict(buffers[0])
         merged["src"] = jnp.zeros_like(merged["t"], dtype=jnp.int32)
-    elif assume_sorted:
+    elif assume_sorted or sort_free:
         merged = {"t": jnp.concatenate([b["t"] for b in buffers], -1),
                   "mask": jnp.concatenate([b["mask"] for b in buffers], -1)}
         for k in payload_keys:
@@ -81,6 +97,9 @@ def merge_and_integrate(buffers: Sequence[Dict[str, Any]], *,
         merged["src"] = jnp.concatenate(
             [jnp.full(b["t"].shape, i, jnp.int32)
              for i, b in enumerate(buffers)], -1)
+        if not assume_sorted:
+            merged["vw"] = cross_source_vw(merged["t"], merged["mask"],
+                                           merged["alpha"])
     else:
         merged = merge_sorted_buffers(buffers, payload_keys=payload_keys)
     out = volume_integrate(merged, depth_use_normalized_vw=depth_use_normalized_vw)

@@ -43,11 +43,29 @@ def build_everything_multi(cfg):
         # exact per-object path.
         group_budget_frac=rcfg.get("group_budget_frac", 1.0),
         max_hits_per_ray=rcfg.get("max_hits_per_ray", 4))
+    # pose refinement / appearance embeddings / color transform assets
+    # (reference code_multi/tools/train.py:50,104-139 — the same wiring the
+    # single trainer has; VERDICT r2 item 5)
+    from ..models.assets import ImageEmbeddings, LearnableParams
+    from ..models.misc_assets import ColorTransform
+    pose_model_id, pose_enable_after, embed_model = None, 0, None
+    for mid, asset in bank.assets.items():
+        if isinstance(asset, LearnableParams):
+            pose_model_id = mid
+            pose_enable_after = asset.enable_after
+        elif isinstance(asset, ImageEmbeddings):
+            embed_model = (asset, mid)
+        elif isinstance(asset, ColorTransform):
+            renderer.set_postprocessor(asset, mid)
+
     tcfg = cfg.get("training", {})
     trainer = MultiObjectTrainer(
         scene, renderer, loss_cfgs=dict(tcfg.get("losses", {})),
         training_cfgs=bank.training_cfgs(),
-        uniform_sample_n=tcfg.get("uniform_sample_n", 256))
+        uniform_sample_n=tcfg.get("uniform_sample_n", 256),
+        pose_model_id=pose_model_id, pose_enable_after=pose_enable_after,
+        embed_model=embed_model,
+        debug_grads=bool(tcfg.get("debug_grads", False)))
     loader = SceneDataLoader(scene, dataset,
                              with_mask=tcfg.get("with_mask", True),
                              with_lidar=tcfg.get("with_lidar", False)) \
@@ -83,9 +101,20 @@ def main_function(cfg) -> Dict[str, Any]:
     params = bank.training_initialize(params, k_pre)
     state = trainer.init_state(key, params=params)
 
+    # error-map importance sampling (per-camera ErrorMap; reference
+    # code_multi/tools/train.py:50 — ErrorMap/ImpSampler per camera)
+    imp_sampler = None
+    em_cfg = tcfg.get("error_map", {})
+    if em_cfg and loader is not None:
+        from ..training.error_map import ErrorMap, ImpSampler
+        imp_sampler = ImpSampler(
+            ErrorMap(scene.n_frames, tuple(em_cfg.get("hw", (32, 64)))),
+            frac_uniform=em_cfg.get("frac_uniform", 0.5),
+            enable_after=em_cfg.get("enable_after", 0))
     if loader is not None:
         sampler = PixelSampler(loader, n_rays=tcfg.get("n_rays", 2048),
-                               seed=cfg.get("seed", 42))
+                               seed=cfg.get("seed", 42),
+                               imp_sampler=imp_sampler)
     else:
         # procedural datasets (synthetic_multi) emit world-ray batches
         # directly instead of (cam, frame, pixel) tuples
@@ -121,16 +150,30 @@ def main_function(cfg) -> Dict[str, Any]:
     t0 = time.time()
     m = {}
     sticky_m = {}
+    _jit_keys = ("rays_xy", "rays_fidx", "image_rgb", "image_occupancy_mask",
+                 "image_ignore_mask", "image_mono_depth",
+                 "image_mono_normals", "w2c_rot")
+
+    def to_device_batch(raw):
+        return {k: jnp.asarray(v) for k, v in raw.items() if k in _jit_keys}
+
     for it in range(num_iters):
         key, sk = jax.random.split(key)
         raw = sampler.sample()
         if "rays_o" in raw:          # direct world-ray batch (procedural)
             batch = {k: jnp.asarray(v) for k, v in raw.items()
                      if not isinstance(v, str)}
+            state, m = trainer.train_step(state, batch, sk)
         else:
-            batch = lift_pixel_batch(scene, raw)
-            batch["rays_fidx"] = jnp.asarray(raw["rays_fidx"])
-        state, m = trainer.train_step(state, batch, sk)
+            # rays lifted INSIDE the jitted step (pose-delta gradients flow)
+            state, m = trainer.train_step(state, to_device_batch(raw), sk,
+                                          "pixel", raw["cam_id"])
+            if imp_sampler is not None and "err_map" in m:
+                W, H = loader.image_wh(raw["cam_id"])
+                imp_sampler.update(raw["rays_fidx"], raw["rays_sel"][:, 1],
+                                   raw["rays_sel"][:, 0],
+                                   np.asarray(m["err_map"]), H, W,
+                                   cam_id=raw["cam_id"])
         if lidar_sampler is not None:
             lb = lidar_sampler.sample()
             if lb is not None:

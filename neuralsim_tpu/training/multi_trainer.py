@@ -29,12 +29,25 @@ class MultiObjectTrainer:
     def __init__(self, scene, renderer, loss_cfgs: Dict[str, Dict],
                  training_cfgs: Optional[Dict[str, Dict]] = None,
                  uniform_sample_n: int = 256,
-                 default_optim_cfg: Optional[Dict] = None):
+                 default_optim_cfg: Optional[Dict] = None,
+                 pose_model_id: Optional[str] = None,
+                 pose_enable_after: int = 0,
+                 embed_model: Optional[Tuple[Any, str]] = None,
+                 debug_grads: bool = False):
         self.scene = scene
         self.renderer = renderer
         self.loss_cfgs = dict(loss_cfgs)
         self.training_cfgs = dict(training_cfgs or {})
         self.uniform_sample_n = uniform_sample_n
+        # pose refinement (LearnableParams): deltas applied INSIDE the jitted
+        # slice_at — covers camera/ego nodes AND object nodes (the scene
+        # graph carries per-object transforms; reference
+        # code_multi/tools/train.py:104-139 wires the same asset)
+        self.pose_model_id = pose_model_id
+        self.pose_enable_after = pose_enable_after
+        # per-frame appearance embeddings (ImageEmbeddings asset, model_id)
+        self.embed_model = embed_model
+        self.debug_grads = debug_grads
         self.default_optim_cfg = default_optim_cfg or \
             {"lr": 1e-2, "betas": (0.9, 0.99), "eps": 1e-15}
         self.optimizer = None
@@ -65,16 +78,45 @@ class MultiObjectTrainer:
         return seen
 
     def compute_losses(self, params, batch, it, key,
-                       step_type: str = "pixel", occ=None
+                       step_type: str = "pixel", occ=None,
+                       cam_id: Optional[str] = None
                        ) -> Tuple[jnp.ndarray, Dict]:
         k_render, k_uniform, k_eik = jax.random.split(key, 3)
         with_rgb = step_type != "lidar"
         patch_hw = None
-        if step_type == "image_patch":
+        if step_type in ("image_patch", "view") and "rays_xy" not in batch:
             patch_hw = batch["rays_o"].shape[:2]
             batch = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
                      if hasattr(v, "reshape")}
-        frozen = self.scene.slice_at(batch["rays_fidx"])
+        if step_type in ("image_patch", "view") and "rays_xy" in batch:
+            patch_hw = batch["rays_xy"].shape[:2]
+            batch = {k: v.reshape((-1,) + v.shape[2:]) for k, v in batch.items()
+                     if hasattr(v, "reshape")}
+        # learnable pose deltas: applied to EVERY refined node (cameras AND
+        # objects) inside the jitted slice, so gradients flow to the
+        # refinement parameters through both ray lifting and the compose
+        # renderer's per-object world transforms
+        deltas = None
+        if self.pose_model_id and self.pose_model_id in params:
+            gate = (jnp.asarray(it) >= self.pose_enable_after).astype(
+                jnp.float32)
+            deltas = jax.tree.map(lambda a: a * gate,
+                                  params[self.pose_model_id])
+        frozen = self.scene.slice_at(batch["rays_fidx"], pose_deltas=deltas)
+        if "rays_xy" in batch and cam_id is not None:
+            # in-jit ray lifting (pose gradients flow; reference defers
+            # lifting to the trainer for exactly this reason)
+            from ..scene.observers import camera_get_selected_rays
+            ro, rd = camera_get_selected_rays(frozen, cam_id, batch["rays_xy"])
+            batch = {**{k: v for k, v in batch.items() if k != "rays_xy"},
+                     "rays_o": ro, "rays_d": rd}
+        # per-ray appearance embedding from the frame index
+        h_appear = None
+        if self.embed_model is not None and cam_id is not None:
+            easset, emid = self.embed_model
+            if emid in params and cam_id in easset.tables:
+                h_appear = easset.h_appear(params[emid], cam_id,
+                                           batch["rays_fidx"])
         # normalized per-ray time for time-conditioned fields (dynamic
         # categorical models / EmerNeRF street) — forwarded only to fields
         # with use_time by the compose renderer
@@ -85,9 +127,15 @@ class MultiObjectTrainer:
         rendered = self.renderer.ray_query(
             params, frozen, batch["rays_o"], batch["rays_d"],
             key=k_render, it=it, with_rgb=with_rgb, cond=cond,
+            h_appear=h_appear,
             only_cr=(step_type == "lidar"), occ_states=occ,
             return_buffer=True, with_per_obj=False)
         buf = rendered.get("merged_buffer")
+        if with_rgb and getattr(self.renderer, "postprocessor", None) \
+                is not None and "rays_fidx" in batch:
+            rendered = dict(rendered)
+            rendered["rgb_volume"] = self.renderer.apply_postprocess(
+                params, rendered["rgb_volume"], batch["rays_fidx"])
 
         losses: Dict[str, jnp.ndarray] = {}
         aux: Dict[str, Any] = {}
@@ -204,12 +252,21 @@ class MultiObjectTrainer:
     @partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=(1,))
     def train_step(self, state: TrainState, batch, key,
                    step_type: str = "pixel", cam_id: Optional[str] = None):
-        # cam_id is accepted (and ignored) for signature parity with
-        # Trainer.train_step so make_sharded_train_step works on both
+        """cam_id (static) selects the camera for in-jit ray lifting of
+        rays_xy batches; signature matches Trainer.train_step so
+        make_sharded_train_step works on both."""
         def loss_fn(p):
             return self.compute_losses(p, batch, state.it, key, step_type,
-                                       occ=state.occ)
+                                       occ=state.occ, cam_id=cam_id)
         (total, extras), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if self.debug_grads:
+            for mid, g in grads.items():
+                leaves = jax.tree_util.tree_leaves(g)
+                if not leaves:
+                    continue
+                extras["aux"][f"gradnorm/{mid}"] = optax.global_norm(g)
+                extras["aux"][f"nonfinite/{mid}"] = sum(
+                    jnp.sum(~jnp.isfinite(l)) for l in leaves)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)

@@ -221,15 +221,68 @@ def test_sorted_vs_unsorted_merge_parity():
     b2 = {"t": t2, "mask": m2,
           "alpha": jax.random.uniform(k4, (N, S2)) * 0.5,
           "rgb": jax.random.uniform(k1, (N, S2, 3))}
-    r_sorted = merge_and_integrate([b1, b2], with_per_src=True)
-    r_fast = merge_and_integrate([b1, b2], with_per_src=True,
-                                 assume_sorted=True)
+    r_sorted = merge_and_integrate([b1, b2], with_per_src=True,
+                                   sort_free=False)
+    for r_fast in (merge_and_integrate([b1, b2], with_per_src=True,
+                                       assume_sorted=True),
+                   merge_and_integrate([b1, b2], with_per_src=True)):
+        for k in ("rgb_volume", "depth_volume", "mask_volume"):
+            np.testing.assert_allclose(np.asarray(r_fast[k]),
+                                       np.asarray(r_sorted[k]),
+                                       rtol=1e-5, atol=1e-6)
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(r_fast["per_src"][i]["rgb_volume"]),
+                np.asarray(r_sorted["per_src"][i]["rgb_volume"]),
+                rtol=1e-5, atol=1e-6)
+
+
+def test_sort_free_merge_parity_overlapping():
+    """Order-free cross-source compositing (cross_source_vw, the default
+    multi-buffer merge) must match the sort-based oracle on buffers whose
+    depth ranges INTERLEAVE — the real multi-object case (vehicles overlap
+    the street's depth range) — including gradients w.r.t. alpha."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neuralsim_tpu.renderers.buffers import merge_and_integrate
+
+    key = jax.random.PRNGKey(7)
+    N, S1, S2, S3 = 16, 10, 8, 6
+    ks = jax.random.split(key, 8)
+    bufs = []
+    for i, S in enumerate((S1, S2, S3)):
+        t = jnp.sort(jax.random.uniform(ks[i], (N, S), minval=0.1,
+                                        maxval=4.0), -1)
+        bufs.append({
+            "t": t,
+            "mask": jax.random.uniform(ks[i + 3], (N, S)) > 0.3,
+            "alpha": jax.random.uniform(ks[i + 3], (N, S)) * 0.9,
+            "rgb": jax.random.uniform(ks[(i + 5) % 8], (N, S, 3)),
+        })
+
+    r_oracle = merge_and_integrate(bufs, with_per_src=True, sort_free=False)
+    r_free = merge_and_integrate(bufs, with_per_src=True, sort_free=True)
     for k in ("rgb_volume", "depth_volume", "mask_volume"):
-        np.testing.assert_allclose(np.asarray(r_fast[k]),
-                                   np.asarray(r_sorted[k]),
+        np.testing.assert_allclose(np.asarray(r_free[k]),
+                                   np.asarray(r_oracle[k]),
                                    rtol=1e-5, atol=1e-6)
-    for i in range(2):
-        np.testing.assert_allclose(
-            np.asarray(r_fast["per_src"][i]["rgb_volume"]),
-            np.asarray(r_sorted["per_src"][i]["rgb_volume"]),
-            rtol=1e-5, atol=1e-6)
+    for i in range(3):
+        for k in ("rgb_volume", "mask_volume"):
+            np.testing.assert_allclose(
+                np.asarray(r_free["per_src"][i][k]),
+                np.asarray(r_oracle["per_src"][i][k]),
+                rtol=1e-5, atol=1e-6)
+
+    # gradient parity w.r.t. every source's alpha
+    def loss(alphas, sort_free):
+        bs = [{**b, "alpha": a} for b, a in zip(bufs, alphas)]
+        r = merge_and_integrate(bs, sort_free=sort_free)
+        return jnp.sum(r["rgb_volume"]) + jnp.sum(r["depth_volume"])
+
+    a0 = [b["alpha"] for b in bufs]
+    g_free = jax.grad(lambda a: loss(a, True))(a0)
+    g_oracle = jax.grad(lambda a: loss(a, False))(a0)
+    for gf, go in zip(g_free, g_oracle):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go),
+                                   rtol=1e-4, atol=1e-5)
