@@ -386,6 +386,44 @@ class BufferComposeRenderer:
         return rendered
 
     # ------------------------------------------------------------------
+    def render_chunked(self, params: Params, frozen, rays_o: jnp.ndarray,
+                       rays_d: jnp.ndarray, *, rayschunk: int = 4096,
+                       key=None, **kw) -> Dict[str, Any]:
+        """Memory-bounded full-frame compose rendering: fixed-size ray chunks
+        via ``lax.map`` (the multi-object analog of the reference's
+        ``rayschunk`` eval path). ``frozen`` is a single-frame slice shared
+        by all chunks. Emits the composited volumes plus the
+        per-object/per-class in-scene decomposition
+        (``rendered_per_obj_in_scene``) when ``with_per_obj`` (default)."""
+        n = rays_o.shape[0]
+        pad = (-n) % rayschunk
+        ro = jnp.concatenate([rays_o, jnp.ones((pad, 3), rays_o.dtype)], 0)
+        rd = jnp.concatenate([rays_d, jnp.ones((pad, 3), rays_d.dtype)], 0)
+        ro = ro.reshape(-1, rayschunk, 3)
+        rd = rd.reshape(-1, rayschunk, 3)
+        cond = kw.pop("cond", None)
+
+        def body(args):
+            o, d = args
+            r = self.ray_query(params, frozen, o, d, key=key,
+                               cond=(None if cond is None else
+                                     jnp.broadcast_to(cond, (rayschunk, 1))),
+                               **kw)
+            out = {k: r[k] for k in ("rgb_volume", "depth_volume",
+                                     "mask_volume", "normals_volume",
+                                     "rgb_sky")
+                   if k in r}
+            out["per_obj"] = {
+                nm: {k: v for k, v in sub.items()
+                     if k in ("rgb_volume", "depth_volume", "mask_volume")}
+                for nm, sub in r.get("rendered_per_obj_in_scene", {}).items()
+                if sub is not None}
+            return out
+
+        out = jax.lax.map(body, (ro, rd))
+        return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+
+    # ------------------------------------------------------------------
     @classmethod
     def from_asset_bank(cls, scene, bank, *, obj_query_cfg=None,
                         cr_class: str = "Street", distant_class: str = "Distant",

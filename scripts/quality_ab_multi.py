@@ -63,7 +63,7 @@ VEHICLE_CFGS = {
 }
 
 
-def run(tag: str):
+def run(tag: str, group_frac=1.0, hit_frac=0.5):
     ds = SyntheticMultiObjectDataset(n_frames=4, H=64, W=64)
     scene = Scene.load_from_scenario(ds.get_scenario())
     bank = AssetBank.create({
@@ -85,8 +85,8 @@ def run(tag: str):
                 "model_params": {"hidden": 32},
                 "asset_params": {"training_cfg": {"lr": 3e-3}}},
     }, [scene])
-    renderer = BufferComposeRenderer.from_asset_bank(scene, bank,
-                                                     group_budget_frac=1.0)
+    renderer = BufferComposeRenderer.from_asset_bank(
+        scene, bank, group_budget_frac=group_frac, hit_budget_frac=hit_frac)
     trainer = MultiObjectTrainer(
         scene, renderer,
         loss_cfgs={"rgb": {"fn_type": "huber", "fn_param": {"delta": 0.1},
@@ -121,6 +121,8 @@ def run(tag: str):
                                   eb["rays_d"], key=None, it=ITERS)
     p = float(psnr(rendered["rgb_volume"], eb["image_rgb"]))
     print(json.dumps({"backbone": tag, "iters": ITERS,
+                      "group_budget_frac": group_frac,
+                      "hit_budget_frac": hit_frac,
                       "psnr": round(p, 2), "train_s": round(dt, 1),
                       "rays_per_s": round(ITERS * N_RAYS / dt, 1)}),
           flush=True)
@@ -128,5 +130,13 @@ def run(tag: str):
 
 
 if __name__ == "__main__":
-    for tag in ("cp", "permuto"):
-        run(tag)
+    if "fracs" in sys.argv:
+        # group-budget compaction quality sweep (VERDICT r2 item 2): the
+        # uncompacted oracle vs realistic group budgets, same backbone/seed
+        sys.argv.remove("fracs")
+        run("cp", group_frac=None, hit_frac=None)      # exact O(K*N) oracle
+        for gf in (1.0, 0.5, 0.25):
+            run("cp", group_frac=gf)
+    else:
+        for tag in ("cp", "permuto"):
+            run(tag)

@@ -269,6 +269,109 @@ def test_train_multi_cli_parity_features(tmp_path):
     assert np.any(M != eye), "ColorTransform got no gradient"
 
 
+def test_eval_multi_cli(tmp_path):
+    """tools/eval_multi drives full/fg/bg + per-object/per-class in-scene
+    decomposition metrics over a trained multi-object experiment (VERDICT r2
+    item 3; reference code_multi/tools/eval.py:255-340)."""
+    import yaml
+    from neuralsim_tpu.tools.eval_multi import main_function as eval_main
+    from neuralsim_tpu.tools.train_multi import main_function as multi_main
+
+    with open("configs/synthetic_multi.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["exp_dir"] = str(tmp_path / "m")
+    cfg["compile_cache"] = None
+    cfg["dataset_cfg"]["params"] = {"n_frames": 3, "H": 24, "W": 24}
+    veh = cfg["assetbank_cfg"]["Vehicle"]["model_params"]
+    veh["encoding_cfg"].update({"n_levels": 3, "max_res": 16, "cp_max_res": 16})
+    veh["query_cfg"] = {"num_coarse": 8, "num_fine": [4],
+                        "upsample_inv_s_factors": [1.0]}
+    st = cfg["assetbank_cfg"]["Street"]["model_params"]
+    st["encoding_cfg"].update({"n_levels": 3, "max_res": 16, "n_hash_levels": 1})
+    st["query_cfg"] = {"num_coarse": 8, "num_fine": [4],
+                       "upsample_inv_s_factors": [1.0]}
+    st["pretrain"] = None
+    cfg["training"].update({"num_iters": 3, "n_rays": 64,
+                            "uniform_sample_n": 32, "i_log": 1})
+    multi_main(cfg)
+
+    ecfg = dict(cfg)
+    ecfg["resume_dir"] = cfg["exp_dir"]
+    ecfg["eval"] = {"frames": [0, 2], "downscale": 4, "rayschunk": 36}
+    out = eval_main(ecfg)
+    assert np.isfinite(out["mean"]["psnr"])
+    assert "psnr_fg" in out["mean"] and "mask_bce" in out["mean"]
+    # per-object decomposition: both vehicles + street appear with finite
+    # visibility mass; per-class aggregation covers Vehicle and Street
+    objs = {o["object"] for o in out["per_object"]}
+    assert {"obj_a", "obj_b", "street"} <= objs
+    assert "Vehicle" in out["per_class"] and "Street" in out["per_class"]
+    assert out["per_class"]["Vehicle"]["n_objects"] == 2
+    assert os.path.isfile(os.path.join(cfg["exp_dir"], "eval_multi",
+                                       "metrics.json"))
+    assert os.path.isfile(os.path.join(cfg["exp_dir"], "eval_multi",
+                                       "per_object.csv"))
+    assert os.path.isfile(os.path.join(cfg["exp_dir"], "eval_multi",
+                                       "obj_obj_a_0000.png"))
+
+
+def test_waymo_demo_multi_chain(tmp_path):
+    """BASELINE target #5 wiring: a Waymo-LAYOUT multi-object sequence
+    (ego-child camera + LiDAR, moving vehicle tracks in canonical unit-cube
+    space) through the full code_multi toolchain — WaymoDataset reader ->
+    train_multi (pixel + lidar steps, shared categorical vehicles + street
+    + distant + sky) -> eval_multi decomposition -> render replay."""
+    import yaml
+    from neuralsim_tpu.dataio.waymo_demo import build_demo_sequence
+    from neuralsim_tpu.tools.eval_multi import main_function as eval_main
+    from neuralsim_tpu.tools.render import main_function as render_main
+    from neuralsim_tpu.tools.train_multi import main_function as train_main
+
+    root = str(tmp_path / "data")
+    build_demo_sequence(root, n_frames=3, H=32, W=48, n_vehicles=2,
+                        lidar_hw=(4, 16))
+    with open("configs/waymo_demo_multi.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg.update(exp_dir=str(tmp_path / "exp"), compile_cache=None)
+    cfg["dataset_cfg"]["params"]["root"] = root
+    veh = cfg["assetbank_cfg"]["Vehicle"]["model_params"]
+    veh["encoding_cfg"].update({"n_levels": 3, "max_res": 16,
+                                "cp_max_res": 16})
+    veh["query_cfg"] = {"num_coarse": 8, "num_fine": [4],
+                        "upsample_inv_s_factors": [1.0]}
+    st = cfg["assetbank_cfg"]["Street"]["model_params"]
+    st["encoding_cfg"].update({"n_levels": 3, "max_res": 32,
+                               "cp_max_res": 32})
+    st["query_cfg"] = {"num_coarse": 12, "num_fine": [4],
+                       "upsample_inv_s_factors": [1.0]}
+    st["pretrain"] = {"type": "road_surface", "z_road": 0.0, "up_axis": 2,
+                      "n_iters": 10}
+    st["accel_cfg"] = {"resolution": 16}
+    st["inv_s_anneal_stop_it"] = 4
+    cfg["assetbank_cfg"]["Distant"]["model_params"]["query_cfg"] = \
+        {"num_samples": 6}
+    cfg["training"].update({"num_iters": 3, "n_rays": 64, "n_rays_lidar": 32,
+                            "uniform_sample_n": 32, "i_log": 1,
+                            "error_map": {"hw": [4, 6], "frac_uniform": 0.5}})
+    train_main(cfg)
+
+    ecfg = dict(cfg, resume_dir=cfg["exp_dir"],
+                eval={"frames": [0, 2], "downscale": 4, "rayschunk": 24})
+    out = eval_main(ecfg)
+    assert np.isfinite(out["mean"]["psnr"])
+    assert {"veh_0", "veh_1", "street", "distant"} <= \
+        {o["object"] for o in out["per_object"]}
+    assert out["per_class"]["Vehicle"]["n_objects"] == 2
+
+    rcfg = dict(cfg, resume_dir=cfg["exp_dir"],
+                renderer={**cfg["renderer"], "type": "multi"},
+                render={"mode": "replay", "frames": [0], "downscale": 8,
+                        "video": False})
+    render_main(rcfg)
+    assert os.path.isfile(os.path.join(cfg["exp_dir"], "render_replay",
+                                       "rgb_0000.png"))
+
+
 def test_emernerf_cli_train_and_flow_render(tmp_path):
     """EmerNeRF through the CLI: train with flow + dynamic-sparsity losses,
     then render replay emitting the decomposed static/dynamic + flow channels
