@@ -81,3 +81,44 @@ class ReverseEgoAnim(Anim):
         tr = np.asarray(node.frame_data["transform"])[::-1].copy()
         node.frame_data = dict(node.frame_data)
         node.frame_data["transform"] = jnp.asarray(tr)
+
+
+def create_anim(cfg, scene=None) -> Anim:
+    """Anim factory for the render driver (reference ``create_anim`` used by
+    code_multi/tools/render_anim.py:80).
+
+    ``cfg`` forms:
+      * path string  -> FileAnim (npz/json of per-node trajectories)
+      * "reverse_ego" or "reverse_ego:<node_id>" -> ReverseEgoAnim
+      * dict {type: file|reverse_ego, path?, node_id?}
+    """
+    def _default_ego():
+        if scene is not None:
+            eid = scene.metas.get("ego_car_id")
+            if eid and eid in scene.nodes:
+                return eid
+            for n in scene.nodes_topo:
+                if n.class_name == "EgoVehicle":
+                    return n.id
+            # scenes without an ego node (e.g. synthetic object scenes):
+            # reverse the pose track of the first camera observer's topmost
+            # posed ancestor — the closest analog of "drive backwards".
+            for n in scene.nodes_topo:
+                if n.class_name == "Camera":
+                    nid = n.id
+                    while scene.nodes[nid].parent is not None:
+                        nid = scene.nodes[nid].parent
+                    return nid
+        return "ego"
+
+    if isinstance(cfg, str):
+        if cfg.startswith("reverse_ego"):
+            _, _, nid = cfg.partition(":")
+            return ReverseEgoAnim(nid or _default_ego())
+        return FileAnim(cfg)
+    t = cfg.get("type", "file")
+    if t == "reverse_ego":
+        return ReverseEgoAnim(cfg.get("node_id") or _default_ego())
+    if t == "file":
+        return FileAnim(cfg["path"])
+    raise ValueError(f"unknown anim type {t}")

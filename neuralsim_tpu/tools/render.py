@@ -207,7 +207,15 @@ def main_function(cfg) -> Dict:
     rcfg = cfg.get("render", {})
     mode = rcfg.get("mode", "replay")          # replay | nvs | lidar
     downscale = int(rcfg.get("downscale", 2))
-    out_dir = os.path.join(exp_dir, f"render_{mode}")
+    # re-simulation: override node trajectories BEFORE rendering (reference
+    # code_multi/tools/render_anim.py:80 — FileAnim/ReverseEgoAnim drive the
+    # scene graph, then replay/lidar modes render the edited world)
+    anim_cfg = rcfg.get("anim")
+    if anim_cfg:
+        from ..anim import create_anim
+        create_anim(anim_cfg, scene).apply(scene)
+    out_dir = os.path.join(exp_dir,
+                           f"render_{mode}{'_anim' if anim_cfg else ''}")
     os.makedirs(out_dir, exist_ok=True)
     cam_id = rcfg.get("cam_id", loader.cam_ids[0])
     W, H = loader.image_wh(cam_id)
