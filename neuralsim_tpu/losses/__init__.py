@@ -8,3 +8,4 @@ from .core import (clearance_loss, color_lipschitz_loss, eikonal_loss,
 from .mono import erode_mask, mono_depth_loss, mono_normals_loss, solve_scale_shift
 from .perceptual import perceptual_loss, s3im_loss
 from .manhattan import cross_cr_dv_entropy_loss, manhattan_loss, road_normal_loss
+from .conditional import deformation_loss

@@ -60,9 +60,16 @@ def s3im_loss(pred: jnp.ndarray, gt: jnp.ndarray, it, cfg: Dict,
 
 def perceptual_loss(pred_patch: jnp.ndarray, gt_patch: jnp.ndarray, it,
                     cfg: Dict) -> jnp.ndarray:
-    """VGG-feature perceptual loss; inactive (0) without pretrained weights
-    (``cfg.weights_path``). Patches: [B, H, W, 3]."""
+    """VGG16-feature perceptual loss (reference PerceptualLoss,
+    app/loss/perceptual.py:24-101). Inactive (0) without pretrained weights
+    (``cfg.weights_path`` — torchvision/LPIPS state dict or npz; see
+    losses/vgg.py). Patches: [B, H, W, 3] (or [H, W, 3]) in [0, 1]."""
     if not cfg.get("weights_path"):
         return jnp.asarray(0.0)
-    raise NotImplementedError(
-        "supply VGG16 weights via cfg.weights_path and extend this hook")
+    from .vgg import load_vgg16, vgg_perceptual
+    convs, _ = load_vgg16(cfg["weights_path"])
+    if pred_patch.ndim == 3:
+        pred_patch, gt_patch = pred_patch[None], gt_patch[None]
+    taps = tuple(cfg.get("taps", ("relu1_2", "relu2_2", "relu3_3")))
+    return vgg_perceptual(convs, pred_patch, gt_patch, taps,
+                          fn=cfg.get("fn_type", "l1")) * _w(cfg, it)

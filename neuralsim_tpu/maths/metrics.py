@@ -64,16 +64,11 @@ def lpips_np(pred: np.ndarray, gt: np.ndarray,
     torch state dict for torchvision-style VGG16 features."""
     if weights_path is None:
         return None
-    try:
-        import torch
-        import torch.nn as nn
-    except Exception:
-        return None
-    # minimal VGG16-feature LPIPS with externally supplied weights
-    state = torch.load(weights_path, map_location="cpu")
-    # (loading layout is user-provided; fall back gracefully)
-    try:
-        from .lpips_impl import lpips_from_state  # optional extension point
-        return lpips_from_state(state, pred, gt)
-    except Exception:
-        return None
+    import jax.numpy as jnp
+    from ..losses.vgg import load_vgg16, lpips_pair
+    convs, lins = load_vgg16(weights_path)
+    p = jnp.asarray(pred, jnp.float32)
+    g = jnp.asarray(gt, jnp.float32)
+    if p.ndim == 3:
+        p, g = p[None], g[None]
+    return float(lpips_pair(convs, lins, p, g))

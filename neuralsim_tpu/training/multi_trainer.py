@@ -157,6 +157,13 @@ class MultiObjectTrainer:
                 losses["loss_s3im"] = s3im_loss(
                     rendered["rgb_volume"], batch["image_rgb"], it,
                     self.loss_cfgs["s3im"], key=k_eik)
+            if "perceptual" in self.loss_cfgs and patch_hw is not None:
+                from ..losses import perceptual_loss
+                ph_, pw_ = patch_hw
+                losses["loss_perceptual"] = perceptual_loss(
+                    rendered["rgb_volume"].reshape(1, ph_, pw_, 3),
+                    batch["image_rgb"].reshape(1, ph_, pw_, 3), it,
+                    self.loss_cfgs["perceptual"])
             if "mono_depth" in self.loss_cfgs and "image_mono_depth" in batch:
                 ph_, pw_ = patch_hw
                 dm = batch.get("image_occupancy_mask",
@@ -233,6 +240,29 @@ class MultiObjectTrainer:
                     losses["loss_dynamic_sparsity"] = \
                         jnp.mean(jnp.abs(sd)) * dcfg.get("w", 0.01)
                 break
+
+        # temporal-deformation regularizer for dynamic (time-conditioned)
+        # categorical models (reference DeformationLoss,
+        # app/loss/conditional.py:20 — a declared stub there; realized here)
+        if "deformation" in self.loss_cfgs:
+            from ..losses import deformation_loss
+            dcfg = self.loss_cfgs["deformation"]
+            total_def = jnp.asarray(0.0)
+            for i, (mid, field) in enumerate(self._fields_by_model().items()):
+                if not getattr(field, "use_time", False):
+                    continue
+                kk = jax.random.fold_in(k_uniform, 200 + i)
+                x = field.space.uniform_points(kk, self.uniform_sample_n)
+                t01 = jax.random.uniform(jax.random.fold_in(kk, 1),
+                                         x.shape[:-1] + (1,))
+                bb = None
+                if getattr(field, "n_instances", 0):
+                    bb = jax.random.randint(jax.random.fold_in(kk, 2),
+                                            x.shape[:-1], 0,
+                                            field.n_instances)
+                total_def = total_def + deformation_loss(
+                    field, params[mid], x, t01, it, dcfg, bidx=bb)
+            losses["loss_deformation"] = total_def
 
         # latent norm regularizer for shared categorical models (reference
         # LatentLoss, app/loss/conditional.py:17)
