@@ -334,6 +334,22 @@ class LearnableParams(AssetModel):
             (scene.observer_ids() if scene else [])
         self.n_frames = scene.n_frames if scene else mp.get("n_frames", 1)
         self.enable_after = mp.get("enable_after", 0)
+        # camera-intrinsics self-calibration (reference declares
+        # refine_camera_intr, learnable_params.py:41 — a `pass` stub there;
+        # realized here as per-frame (dfx, dfy, dcx, dcy) deltas)
+        ri = mp.get("refine_intr", False)
+        cams = [nid for nid in (scene.observer_ids() if scene else [])
+                if scene.observers[nid].class_name == "Camera"] \
+            if scene else []
+        self.intr_nodes = (cams if ri is True else list(ri or []))
+        # per-sensor timestamp refinement (reference refine_sensor_ts,
+        # learnable_params.py:43,148-160 — real there, timestamp-mode only);
+        # ts_holistic_offset=True learns ONE offset per sensor instead of
+        # per-frame deltas (reference learn_holistic_offset)
+        rt = mp.get("refine_ts", False)
+        self.ts_nodes = ((scene.observer_ids() if scene else [])
+                         if rt is True else list(rt or []))
+        self.ts_holistic = bool(mp.get("ts_holistic_offset", False))
 
     def init(self, key) -> Dict:
         out = {}
@@ -342,7 +358,23 @@ class LearnableParams(AssetModel):
                 "dquat": jnp.zeros((self.n_frames, 3)),   # so(3) tangent delta
                 "dtrans": jnp.zeros((self.n_frames, 3)),
             }
+        for nid in self.intr_nodes:
+            out.setdefault(nid, {})["dintr"] = jnp.zeros((self.n_frames, 4))
+        for nid in self.ts_nodes:
+            out.setdefault(nid, {})["dts"] = jnp.zeros(
+                (1,) if self.ts_holistic else (self.n_frames,))
         return out
+
+    @staticmethod
+    def apply_intr_delta(intr: jnp.ndarray, dintr: jnp.ndarray) -> jnp.ndarray:
+        """Add (dfx, dfy, dcx, dcy) deltas to [..., 3, 3] pinhole/OpenCV
+        intrinsics (self-calibration; gradients flow through ray lifting)."""
+        zero = jnp.zeros_like(dintr[..., 0])
+        dmat = jnp.stack([
+            jnp.stack([dintr[..., 0], zero, dintr[..., 2]], -1),
+            jnp.stack([zero, dintr[..., 1], dintr[..., 3]], -1),
+            jnp.stack([zero, zero, zero], -1)], -2)
+        return intr + dmat
 
     @staticmethod
     def apply_delta(transform: jnp.ndarray, dquat: jnp.ndarray,

@@ -127,8 +127,9 @@ class SceneNode:
                "valid": self.frame_data["valid"][lo] & self.frame_data["valid"][hi]}
         for k, v in self.frame_data.items():
             if k not in out and k != "global_ts" and jnp.issubdtype(v.dtype, jnp.floating):
-                out[k] = lerp(v[lo], v[hi],
-                              w.reshape(w.shape + (1,) * (v.ndim - 1 - w.ndim)))
+                vl, vh = v[lo], v[hi]
+                out[k] = lerp(vl, vh,
+                              w.reshape(w.shape + (1,) * (vl.ndim - w.ndim)))
             elif k not in out:
                 out[k] = v[lo]
         return out

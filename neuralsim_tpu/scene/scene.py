@@ -166,17 +166,57 @@ class Scene:
         for n in self.nodes_topo:
             d = n.slice_at(fi)
             if pose_deltas and n.id in pose_deltas:
-                from ..models.assets import LearnableParams
-                pd = pose_deltas[n.id]
-                d = dict(d)
-                d["transform"] = LearnableParams.apply_delta(
-                    d["transform"], pd["dquat"][fi_arr], pd["dtrans"][fi_arr])
+                d = self._apply_node_deltas(d, pose_deltas[n.id], fi_arr)
             data.append(d)
         return FrozenScene(self, data)
 
-    def interp_at(self, ts) -> FrozenScene:
-        """Freeze at continuous timestamp(s) (reference scenes.py:200)."""
-        return FrozenScene(self, [n.interp_at(ts) for n in self.nodes_topo])
+    @staticmethod
+    def _apply_node_deltas(d: Dict, pd: Dict, fi_arr) -> Dict:
+        """Apply a LearnableParams node entry (any of dquat/dtrans/dintr)
+        to one node's sliced frame data, gathered at the slicing index."""
+        from ..models.assets import LearnableParams
+        d = dict(d)
+        if "dquat" in pd:
+            d["transform"] = LearnableParams.apply_delta(
+                d["transform"], pd["dquat"][fi_arr], pd["dtrans"][fi_arr])
+        if "dintr" in pd and "intr" in d:
+            d["intr"] = LearnableParams.apply_intr_delta(
+                d["intr"], pd["dintr"][fi_arr])
+        return d
+
+    def interp_at(self, ts, pose_deltas=None) -> FrozenScene:
+        """Freeze at continuous timestamp(s) (reference scenes.py:200;
+        timestamp mode ``use_ts_interp``, scenes.py:53-83). ``pose_deltas``
+        entries are gathered at each node's nearest-below keyframe
+        (piecewise-constant over the frame grid)."""
+        data = []
+        for n in self.nodes_topo:
+            d = n.interp_at(ts)
+            if pose_deltas and n.id in pose_deltas:
+                table = n.frame_data.get("global_ts")
+                if table is None:
+                    table = jnp.arange(n.n_frames, dtype=jnp.float32)
+                lo = jnp.clip(
+                    jnp.searchsorted(table, jnp.asarray(ts, jnp.float32),
+                                     side="right") - 1, 0, n.n_frames - 1)
+                d = self._apply_node_deltas(d, pose_deltas[n.id], lo)
+            data.append(d)
+        return FrozenScene(self, data)
+
+    def sensor_ts(self, node_id: str, fidx, dts=None) -> jnp.ndarray:
+        """Per-frame global timestamps of a sensor node at (batched) frame
+        indices, plus optional LearnableParams ``dts`` refinement (reference
+        refine_sensor_ts, learnable_params.py:148-160: holistic offset [1]
+        or per-frame deltas [T])."""
+        n = self.nodes[node_id]
+        table = n.frame_data.get("global_ts")
+        if table is None:
+            table = jnp.arange(n.n_frames, dtype=jnp.float32)
+        ts = table[jnp.asarray(fidx)]
+        if dts is not None:
+            delta = dts[0] if dts.shape[0] == 1 else dts[jnp.asarray(fidx)]
+            ts = ts + delta
+        return ts
 
     # -- convenience -----------------------------------------------------------
     def get_observer(self, oid: str) -> SceneNode:

@@ -97,7 +97,8 @@ def build_everything(cfg):
                       scene=scene, pose_model_id=pose_model_id,
                       pose_enable_after=pose_enable_after,
                       embed_model=embed_model,
-                      debug_grads=bool(tcfg.get("debug_grads", False)))
+                      debug_grads=bool(tcfg.get("debug_grads", False)),
+                      use_ts_interp=bool(tcfg.get("use_ts_interp", False)))
 
     # --- data ----------------------------------------------------------------
     loader = SceneDataLoader(

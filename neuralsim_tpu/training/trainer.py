@@ -57,7 +57,8 @@ class Trainer:
                  scene=None, pose_model_id: Optional[str] = None,
                  pose_enable_after: int = 0,
                  embed_model: Optional[Tuple[Any, str]] = None,
-                 debug_grads: bool = False):
+                 debug_grads: bool = False,
+                 use_ts_interp: bool = False):
         self.renderer = renderer
         self.loss_cfgs = dict(loss_cfgs)
         self.training_cfgs = dict(training_cfgs or {})
@@ -76,6 +77,10 @@ class Trainer:
         self.scene = scene
         self.pose_model_id = pose_model_id
         self.pose_enable_after = pose_enable_after
+        # timestamp-mode training (reference use_ts_interp, scenes.py:53-83):
+        # slices the graph by continuous-time interpolation at the sensor's
+        # (optionally refined) timestamps instead of integer frame gather
+        self.use_ts_interp = use_ts_interp
         self.default_optim_cfg = default_optim_cfg or {"lr": 1e-2, "betas": (0.9, 0.99),
                                                        "eps": 1e-15}
         self.optimizer: Optional[optax.GradientTransformation] = None
@@ -115,7 +120,21 @@ class Trainer:
                     jnp.float32)
                 deltas = jax.tree.map(lambda a: a * gate,
                                       params[self.pose_model_id])
-            frozen = self.scene.slice_at(batch["rays_fidx"], pose_deltas=deltas)
+            if self.use_ts_interp:
+                # timestamp mode: freeze the graph by continuous-time
+                # interpolation at the sensor's (optionally refined)
+                # timestamps (reference use_ts_interp, scenes.py:53-83;
+                # refine_sensor_ts, learnable_params.py:148-160) — dts
+                # gradients flow through the interpolated poses
+                dts = None
+                if deltas is not None and cam_id in deltas \
+                        and "dts" in deltas[cam_id]:
+                    dts = deltas[cam_id]["dts"]
+                ts = self.scene.sensor_ts(cam_id, batch["rays_fidx"], dts=dts)
+                frozen = self.scene.interp_at(ts, pose_deltas=deltas)
+            else:
+                frozen = self.scene.slice_at(batch["rays_fidx"],
+                                             pose_deltas=deltas)
             ro, rd = camera_get_selected_rays(frozen, cam_id, batch["rays_xy"])
             # rays_fidx kept: h_appear lookup + postprocessor need it
             batch = {**{k: v for k, v in batch.items() if k != "rays_xy"},
@@ -187,6 +206,13 @@ class Trainer:
                 losses["loss_s3im"] = s3im_loss(
                     rendered["rgb_volume"], batch["image_rgb"], it,
                     self.loss_cfgs["s3im"], key=k_eik)
+            if "perceptual" in self.loss_cfgs and patch_hw is not None:
+                from ..losses import perceptual_loss
+                ph, pw = patch_hw
+                losses["loss_perceptual"] = perceptual_loss(
+                    rendered["rgb_volume"].reshape(1, ph, pw, 3),
+                    batch["image_rgb"].reshape(1, ph, pw, 3), it,
+                    self.loss_cfgs["perceptual"])
             if "mono_depth" in self.loss_cfgs and "image_mono_depth" in batch:
                 ph, pw = patch_hw
                 dm = batch.get("image_occupancy_mask",
