@@ -129,9 +129,13 @@ def run(K: int, n_rays: int = None, iters: int = None):
                 "model_params": {"hidden": 32},
                 "asset_params": {"training_cfg": {"lr": 3e-3}}},
     }, [scene])
-    gbf = os.environ.get("BENCH_GROUP_FRAC")  # pair-mode group budget
+    # pair-mode group budget: default 1.0 = the product default
+    # (tools/train_multi.py group_budget_frac) — per-instance mode
+    # (BENCH_GROUP_FRAC=off) scales field-eval cost with K and OOMs at K=16
+    gbf = os.environ.get("BENCH_GROUP_FRAC", "1.0")
     renderer = BufferComposeRenderer.from_asset_bank(
-        scene, bank, group_budget_frac=float(gbf) if gbf else None)
+        scene, bank,
+        group_budget_frac=None if gbf == "off" else float(gbf))
     trainer = MultiObjectTrainer(
         scene, renderer,
         loss_cfgs={"rgb": {"fn_type": "huber", "w": 10.0},
