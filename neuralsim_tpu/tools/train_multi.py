@@ -65,7 +65,8 @@ def build_everything_multi(cfg):
         uniform_sample_n=tcfg.get("uniform_sample_n", 256),
         pose_model_id=pose_model_id, pose_enable_after=pose_enable_after,
         embed_model=embed_model,
-        debug_grads=bool(tcfg.get("debug_grads", False)))
+        debug_grads=bool(tcfg.get("debug_grads", False)),
+        use_ts_interp=bool(tcfg.get("use_ts_interp", False)))
     loader = SceneDataLoader(scene, dataset,
                              with_mask=tcfg.get("with_mask", True),
                              with_lidar=tcfg.get("with_lidar", False)) \

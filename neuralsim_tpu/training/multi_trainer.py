@@ -33,7 +33,8 @@ class MultiObjectTrainer:
                  pose_model_id: Optional[str] = None,
                  pose_enable_after: int = 0,
                  embed_model: Optional[Tuple[Any, str]] = None,
-                 debug_grads: bool = False):
+                 debug_grads: bool = False,
+                 use_ts_interp: bool = False):
         self.scene = scene
         self.renderer = renderer
         self.loss_cfgs = dict(loss_cfgs)
@@ -48,6 +49,10 @@ class MultiObjectTrainer:
         # per-frame appearance embeddings (ImageEmbeddings asset, model_id)
         self.embed_model = embed_model
         self.debug_grads = debug_grads
+        # timestamp-mode (reference use_ts_interp, scenes.py:53-83): freeze
+        # the graph by continuous-time interpolation — object tracks between
+        # keyframes move smoothly instead of snapping to the frame grid
+        self.use_ts_interp = use_ts_interp
         self.default_optim_cfg = default_optim_cfg or \
             {"lr": 1e-2, "betas": (0.9, 0.99), "eps": 1e-15}
         self.optimizer = None
@@ -102,7 +107,17 @@ class MultiObjectTrainer:
                 jnp.float32)
             deltas = jax.tree.map(lambda a: a * gate,
                                   params[self.pose_model_id])
-        frozen = self.scene.slice_at(batch["rays_fidx"], pose_deltas=deltas)
+        if self.use_ts_interp:
+            dts = None
+            if deltas is not None and cam_id is not None \
+                    and cam_id in deltas and "dts" in deltas[cam_id]:
+                dts = deltas[cam_id]["dts"]
+            ts = self.scene.sensor_ts(cam_id or self.scene.observer_ids()[0],
+                                      batch["rays_fidx"], dts=dts)
+            frozen = self.scene.interp_at(ts, pose_deltas=deltas)
+        else:
+            frozen = self.scene.slice_at(batch["rays_fidx"],
+                                         pose_deltas=deltas)
         if "rays_xy" in batch and cam_id is not None:
             # in-jit ray lifting (pose gradients flow; reference defers
             # lifting to the trainer for exactly this reason)
