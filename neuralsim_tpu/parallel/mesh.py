@@ -83,6 +83,46 @@ def make_sharded_train_step(trainer, mesh: Mesh, step_type: str = "pixel",
     return lazy_step
 
 
+class ShardedTrainer:
+    """Drop-in data-parallel wrapper for a Trainer/MultiObjectTrainer.
+
+    Exposes the same ``train_step(state, batch, key, step_type, cam_id)``
+    surface the CLI drivers call, but routes every (step_type, cam_id, batch
+    signature) through its own pjit'd sharded step over ``mesh`` — this is
+    how ``training.data_parallel: true`` in the YAML turns the single-chip
+    training loop into the DDP equivalent (reference train.py:1405 NCCL DDP;
+    here one SPMD program whose gradient psum rides ICI)."""
+
+    def __init__(self, trainer, mesh: Optional[Mesh] = None,
+                 axis_name: str = "data"):
+        self.trainer = trainer
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis_name = axis_name
+        self.n_devices = self.mesh.devices.size
+        self._steps: Dict[Tuple, Any] = {}
+
+    def __getattr__(self, name):
+        # defer everything else (compute_losses, renderer, ...) to the trainer
+        return getattr(self.trainer, name)
+
+    def train_step(self, state, batch, key, step_type: str = "pixel",
+                   cam_id: Optional[str] = None):
+        lead = {k: v.shape[0] for k, v in batch.items()
+                if hasattr(v, "shape") and v.ndim >= 1}
+        bad = {k: n for k, n in lead.items() if n % self.n_devices}
+        if bad:
+            raise ValueError(
+                f"data_parallel: batch axes {bad} not divisible by "
+                f"{self.n_devices} devices — round training.n_rays/"
+                f"n_rays_lidar/patch sizes to a multiple of the device count")
+        sig = (step_type, cam_id)
+        if sig not in self._steps:
+            self._steps[sig] = make_sharded_train_step(
+                self.trainer, self.mesh, step_type,
+                axis_name=self.axis_name, cam_id=cam_id)
+        return self._steps[sig](state, batch, key)
+
+
 def make_sharded_render(renderer, mesh: Mesh, axis_name: str = "data", **query_kw):
     """pjit'd eval-render over sharded rays: the replacement for the
     reference's render_parallel scene replication (scatter rays / gather
@@ -96,6 +136,79 @@ def make_sharded_render(renderer, mesh: Mesh, axis_name: str = "data", **query_k
     return jax.jit(render,
                    in_shardings=(repl, batch_sharding, batch_sharding),
                    out_shardings=batch_sharding)
+
+
+class ShardedRenderer:
+    """Data-parallel eval rendering for a SingleVolumeRenderer-like object:
+    the product wiring of the reference's ``render_parallel`` scene-replication
+    path (render_parallel.py:28-320 + ``EvalParallelWrapper``,
+    single_volume_renderer.py:556-565). Rays shard over the mesh inside one
+    pjit'd ``ray_query``; a host-side chunk loop bounds memory exactly like
+    ``render_chunked``. Models replicate (they fit on-chip), so no scene
+    scatter/gather machinery is needed — XLA SPMD splits the rays."""
+
+    _DROP = ("vw", "sigma_dynamic_cr", "per_src", "merged_buffer",
+             "details_cr", "rendered_cr", "rendered_dv")
+
+    def __init__(self, renderer, mesh: Optional[Mesh] = None,
+                 axis_name: str = "data"):
+        self.renderer = renderer
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis_name = axis_name
+        self.n_devices = self.mesh.devices.size
+        self._jits: Dict[Tuple, Any] = {}
+
+    def __getattr__(self, name):
+        return getattr(self.renderer, name)
+
+    def _sharded_query(self, static_kw: Dict[str, Any], with_cond: bool,
+                       with_occ: bool):
+        sig = (repr(sorted(static_kw.items(), key=lambda kv: kv[0])),
+               with_cond, with_occ)
+        if sig not in self._jits:
+            shard = NamedSharding(self.mesh, P(self.axis_name))
+            repl = NamedSharding(self.mesh, P())
+
+            def query(params, ro, rd, cond, occ):
+                kw = dict(static_kw)
+                if cond is not None:
+                    kw["cond"] = cond
+                if occ is not None:
+                    kw["occ_states"] = occ
+                r = self.renderer.ray_query(params, ro, rd, key=None, **kw)
+                for k in self._DROP:
+                    r.pop(k, None)
+                return r
+
+            self._jits[sig] = jax.jit(
+                query,
+                in_shardings=(repl, shard, shard,
+                              repl if with_cond else None,
+                              repl if with_occ else None),
+                out_shardings=shard)
+        return self._jits[sig]
+
+    def render_chunked(self, params, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       *, rayschunk: int = 4096, key=None, cond=None,
+                       occ_states=None, **kw):
+        static_kw = {k: v for k, v in kw.items() if v is not None}
+        n = rays_o.shape[0]
+        chunk = -(-rayschunk // self.n_devices) * self.n_devices
+        pad = (-n) % chunk
+        ro = jnp.concatenate([rays_o, jnp.ones((pad, 3), rays_o.dtype)], 0)
+        rd = jnp.concatenate([rays_d, jnp.ones((pad, 3), rays_d.dtype)], 0)
+        fn = self._sharded_query(static_kw, cond is not None,
+                                 occ_states is not None)
+        if occ_states is not None:
+            repl = NamedSharding(self.mesh, P())
+            occ_states = jax.device_put(occ_states, repl)
+        outs = []
+        for i in range(0, ro.shape[0], chunk):
+            outs.append(fn(params, ro[i:i + chunk], rd[i:i + chunk],
+                           (jnp.broadcast_to(cond, (chunk, cond.shape[-1]))
+                            if cond is not None else None), occ_states))
+        out = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+        return jax.tree.map(lambda x: x[:n], out)
 
 
 def pad_to_multiple(x: jnp.ndarray, m: int, axis: int = 0):

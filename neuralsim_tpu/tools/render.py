@@ -195,6 +195,15 @@ def main_function(cfg) -> Dict:
         renderer = _MultiAdapter(mrenderer)
     else:
         _, scene, bank, renderer, trainer, loader = build_everything(cfg)
+        if cfg.get("render", {}).get("data_parallel"):
+            # render_parallel analog (reference render_parallel.py:28-320):
+            # rays shard over all devices inside one pjit'd ray_query
+            from ..parallel.mesh import ShardedRenderer, make_mesh
+            nd = cfg["render"]["data_parallel"]
+            renderer = ShardedRenderer(
+                renderer, make_mesh(None if nd is True else int(nd)))
+            print(f"data-parallel rendering over {renderer.n_devices} devices",
+                  flush=True)
     key = jax.random.PRNGKey(cfg.get("seed", 42))
     params = bank.init_params(key)
     exp_dir = cfg.get("resume_dir") or cfg.get("exp_dir", ".")

@@ -184,6 +184,16 @@ def main_function(cfg) -> Dict[str, Any]:
     _, scene, bank, renderer, trainer, loader = build_everything(cfg)
 
     tcfg = cfg.get("training", {})
+    if tcfg.get("data_parallel"):
+        # DDP analog (reference train.py:1405): one pjit program over all
+        # visible devices; batches shard on the ray axis, params replicate,
+        # the gradient psum rides ICI inside the backward
+        from ..parallel.mesh import ShardedTrainer, make_mesh
+        nd = tcfg["data_parallel"]
+        trainer = ShardedTrainer(
+            trainer, make_mesh(None if nd is True else int(nd)))
+        print(f"data-parallel training over {trainer.n_devices} devices",
+              flush=True)
     exp_dir = cfg.get("exp_dir", os.path.join("logs", "exp"))
     os.makedirs(exp_dir, exist_ok=True)
     save_config(cfg, os.path.join(exp_dir, "config.yaml"))

@@ -89,6 +89,16 @@ def main_function(cfg) -> Dict[str, Any]:
 
     scene, bank, renderer, trainer, loader, dataset = build_everything_multi(cfg)
     tcfg = cfg.get("training", {})
+    if tcfg.get("data_parallel"):
+        # DDP analog over the compose path (reference code_multi train also
+        # rides the same DDP machinery): batches shard on rays, params
+        # replicate, gradient psum over ICI
+        from ..parallel.mesh import ShardedTrainer, make_mesh
+        nd = tcfg["data_parallel"]
+        trainer = ShardedTrainer(
+            trainer, make_mesh(None if nd is True else int(nd)))
+        print(f"data-parallel training over {trainer.n_devices} devices",
+              flush=True)
     exp_dir = cfg.get("exp_dir", os.path.join("logs", "exp_multi"))
     os.makedirs(exp_dir, exist_ok=True)
     save_config(cfg, os.path.join(exp_dir, "config.yaml"))

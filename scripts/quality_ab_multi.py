@@ -63,7 +63,7 @@ VEHICLE_CFGS = {
 }
 
 
-def run(tag: str, group_frac=1.0, hit_frac=0.5):
+def run(tag: str, group_frac=1.0, hit_frac=0.5, seed=0):
     ds = SyntheticMultiObjectDataset(n_frames=4, H=64, W=64)
     scene = Scene.load_from_scenario(ds.get_scenario())
     bank = AssetBank.create({
@@ -95,10 +95,10 @@ def run(tag: str, group_frac=1.0, hit_frac=0.5):
                    "eikonal": {"w": 0.01},
                    "latent": {"w": 1e-3}},
         training_cfgs=bank.training_cfgs(), uniform_sample_n=512)
-    params = bank.init_params(jax.random.PRNGKey(0))
-    state = trainer.init_state(jax.random.PRNGKey(1), params=params)
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(2)
+    params = bank.init_params(jax.random.PRNGKey(seed))
+    state = trainer.init_state(jax.random.PRNGKey(seed + 1), params=params)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed + 2)
 
     batch = {k: jnp.asarray(v) for k, v in ds.sample_pixels(rng, N_RAYS).items()}
     state, m = trainer.train_step(state, dict(batch), key)   # compile
@@ -112,15 +112,20 @@ def run(tag: str, group_frac=1.0, hit_frac=0.5):
     jax.block_until_ready(m["loss_total"])
     dt = time.perf_counter() - t0
 
-    # held-in eval: deterministic render of a fixed ray batch
+    # held-in eval: deterministic render of a fixed ray batch. PSNR is
+    # always computed through the SAME exact uncompacted-oracle renderer so
+    # the number measures what the run's TRAINING path learned, independent
+    # of its own eval-time compaction budgets.
     eval_rng = np.random.default_rng(99)
     eb = {k: jnp.asarray(v)
           for k, v in ds.sample_pixels(eval_rng, 4096).items()}
     frozen = scene.slice_at(eb["rays_fidx"])
-    rendered = renderer.ray_query(state.params, frozen, eb["rays_o"],
-                                  eb["rays_d"], key=None, it=ITERS)
+    oracle = BufferComposeRenderer.from_asset_bank(
+        scene, bank, group_budget_frac=None, hit_budget_frac=None)
+    rendered = oracle.ray_query(state.params, frozen, eb["rays_o"],
+                                eb["rays_d"], key=None, it=ITERS)
     p = float(psnr(rendered["rgb_volume"], eb["image_rgb"]))
-    print(json.dumps({"backbone": tag, "iters": ITERS,
+    print(json.dumps({"backbone": tag, "iters": ITERS, "seed": seed,
                       "group_budget_frac": group_frac,
                       "hit_budget_frac": hit_frac,
                       "psnr": round(p, 2), "train_s": round(dt, 1),
@@ -137,6 +142,15 @@ if __name__ == "__main__":
         run("cp", group_frac=None, hit_frac=None)      # exact O(K*N) oracle
         for gf in (1.0, 0.5, 0.25):
             run("cp", group_frac=gf)
+    elif "seeds" in sys.argv:
+        # seed-variance of the pair-mode-vs-per-instance comparison: at full
+        # hit coverage both paths compute the same math (bit-exact fwd+grad,
+        # scripts/debug_pairmode_grads.py), so run-to-run PSNR spread across
+        # seeds is the yardstick for reading any single-seed gap
+        sys.argv.remove("seeds")
+        for s in (0, 1, 2):
+            run("cp", group_frac=None, hit_frac=0.5, seed=s)   # per-instance
+            run("cp", group_frac=1.0, hit_frac=0.5, seed=s)    # pair mode
     else:
         for tag in ("cp", "permuto"):
             run(tag)

@@ -78,3 +78,25 @@ def test_sharded_step_device_count_invariance(setup):
         _, m = step(_clone(state), dict(batch), key)
         losses.append(float(m["loss_total"]))
     assert losses[0] == pytest.approx(losses[1], rel=2e-5)
+
+
+def test_sharded_renderer_matches_unsharded(setup):
+    """ShardedRenderer (the render_parallel product wiring) returns the same
+    frame as the plain chunked render."""
+    from neuralsim_tpu.parallel.mesh import ShardedRenderer
+
+    trainer, state, _ = setup
+    renderer = trainer.renderer
+    ds = SyntheticObjectDataset(n_frames=2, H=16, W=16)
+    b = ds.sample_pixels(np.random.default_rng(1), 256)
+    ro, rd = jnp.asarray(b["rays_o"]), jnp.asarray(b["rays_d"])
+
+    plain = renderer.render_chunked(state.params, ro, rd, rayschunk=64,
+                                    query_overrides={"perturb": False})
+    sharded = ShardedRenderer(renderer, make_mesh(8)).render_chunked(
+        state.params, ro, rd, rayschunk=64,
+        query_overrides={"perturb": False})
+    for k in ("rgb_volume", "depth_volume", "mask_volume"):
+        np.testing.assert_allclose(np.asarray(plain[k]),
+                                   np.asarray(sharded[k]),
+                                   rtol=2e-4, atol=2e-5)
