@@ -298,6 +298,18 @@ def main_function(cfg) -> Dict[str, Any]:
                 f"{path}. Re-run with training.debug_grads=true for per-model "
                 f"grad norms.")
 
+    # --profile_iters analog (reference Profiler(warmup, record, then=exit),
+    # train.py:1433-1438): run N recorded iterations under the section
+    # profiler, print the sorted per-range device-inclusive report, stop.
+    profiler = None
+    prof_iters = int(tcfg.get("profile_iters", 0))
+    if prof_iters:
+        from ..utils.profiler import Profiler
+        profiler = Profiler(warmup_frames=max(prof_iters // 10, 2),
+                            record_frames=prof_iters)
+        num_iters = min(num_iters,
+                        int(state.it) + profiler.warmup + profiler.record)
+
     t0 = time.time()
     rays_done = 0
     m = {}
@@ -306,6 +318,24 @@ def main_function(cfg) -> Dict[str, Any]:
     try:
         for it in range(int(state.it), num_iters):
             key, sk = jax.random.split(key)
+            if profiler is not None:
+                with profiler.range("sample_pixel"):
+                    raw = pixel_sampler.sample()
+                with profiler.range("step_pixel"):
+                    state, m = trainer.train_step(
+                        state, to_device_batch(raw), sk, "pixel",
+                        raw["cam_id"])
+                    jax.block_until_ready(m["loss_total"])
+                rep = profiler.step()
+                if rep is not None:
+                    print("profile report (ms/iter, device-inclusive):",
+                          flush=True)
+                    for name, row in rep.items():
+                        print(f"  {name:16s} {row['mean_ms']:9.3f} ms  "
+                              f"x{row['count']}", flush=True)
+                    break
+                rays_done += tcfg.get("n_rays", 4096)
+                continue
             raw = pixel_sampler.sample()
             # rays lifted INSIDE the jitted step (pose-delta gradients flow);
             # cam_id is a static argument selecting the camera

@@ -158,6 +158,14 @@ def main_function(cfg) -> Dict[str, Any]:
 
     num_iters = int(tcfg.get("num_iters", 2000))
     i_log = int(tcfg.get("i_log", 50))
+    # --profile_iters analog (see tools/train.py)
+    profiler = None
+    prof_iters = int(tcfg.get("profile_iters", 0))
+    if prof_iters:
+        from ..utils.profiler import Profiler
+        profiler = Profiler(warmup_frames=max(prof_iters // 10, 2),
+                            record_frames=prof_iters)
+        num_iters = min(num_iters, profiler.warmup + profiler.record)
     t0 = time.time()
     m = {}
     sticky_m = {}
@@ -170,6 +178,27 @@ def main_function(cfg) -> Dict[str, Any]:
 
     for it in range(num_iters):
         key, sk = jax.random.split(key)
+        if profiler is not None:
+            with profiler.range("sample"):
+                raw = sampler.sample()
+            with profiler.range("step"):
+                if "rays_o" in raw:
+                    batch = {k: jnp.asarray(v) for k, v in raw.items()
+                             if not isinstance(v, str)}
+                    state, m = trainer.train_step(state, batch, sk)
+                else:
+                    state, m = trainer.train_step(state, to_device_batch(raw),
+                                                  sk, "pixel", raw["cam_id"])
+                jax.block_until_ready(m["loss_total"])
+            rep = profiler.step()
+            if rep is not None:
+                print("profile report (ms/iter, device-inclusive):",
+                      flush=True)
+                for name, row in rep.items():
+                    print(f"  {name:16s} {row['mean_ms']:9.3f} ms  "
+                          f"x{row['count']}", flush=True)
+                break
+            continue
         raw = sampler.sample()
         if "rays_o" in raw:          # direct world-ray batch (procedural)
             batch = {k: jnp.asarray(v) for k, v in raw.items()
