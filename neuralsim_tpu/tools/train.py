@@ -23,6 +23,7 @@ def build_everything(cfg):
     (reference main_function :1242-1377)."""
     import jax
     from ..config import ConfigDict
+    from ..config.config import resolve_interpolations
     from ..dataio.dataloader import (ImageSampler, LidarSampler, PixelSampler,
                                      SceneDataLoader)
     from ..models.asset_base import AssetAssignment
@@ -30,6 +31,10 @@ def build_everything(cfg):
     from ..scene import AssetBank, Scene
     from ..training.trainer import Trainer
     from ..utils.misc import import_str
+
+    # library callers may pass a raw yaml.safe_load dict; the CLI path
+    # resolves ${...} in load_config, but resolving here too is idempotent
+    cfg = resolve_interpolations(cfg)
 
     # --- dataset + scene bank ---------------------------------------------
     from ..scene.scene_bank import create_scene_bank
@@ -177,10 +182,12 @@ def main_function(cfg) -> Dict[str, Any]:
     import jax.numpy as jnp
 
     from ..config import save_config
+    from ..config.config import resolve_interpolations
     from ..dataio.dataloader import LidarSampler, PixelSampler
     from ..utils.checkpoint import CheckpointIO
     from ..utils.logger import Logger
 
+    cfg = resolve_interpolations(cfg)
     _, scene, bank, renderer, trainer, loader = build_everything(cfg)
 
     tcfg = cfg.get("training", {})

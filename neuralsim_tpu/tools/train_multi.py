@@ -17,12 +17,16 @@ import numpy as np
 
 def build_everything_multi(cfg):
     import jax
+    from ..config.config import resolve_interpolations
     from ..dataio.dataloader import SceneDataLoader
     from ..renderers.buffer_compose import BufferComposeRenderer
     from ..scene import AssetBank, Scene
     from ..training.multi_trainer import MultiObjectTrainer
     from ..utils.misc import import_str
 
+    # library callers may pass a raw yaml.safe_load dict; the CLI path
+    # resolves ${...} in load_config, but resolving here too is idempotent
+    cfg = resolve_interpolations(cfg)
     ds_cfg = cfg["dataset_cfg"]
     dataset = import_str(ds_cfg["target"])(**ds_cfg.get("params", {}))
     scenario = dataset.get_scenario(cfg.get("scenebank_cfg", {}).get(
@@ -82,11 +86,13 @@ def main_function(cfg) -> Dict[str, Any]:
     setup_compile_cache(cfg.get("compile_cache", ".jax_cache"))
     import jax.numpy as jnp
     from ..config import save_config
+    from ..config.config import resolve_interpolations
     from ..dataio.dataloader import PixelSampler
     from ..utils.checkpoint import CheckpointIO
     from ..utils.logger import Logger
     from .train import lift_pixel_batch, validate
 
+    cfg = resolve_interpolations(cfg)
     scene, bank, renderer, trainer, loader, dataset = build_everything_multi(cfg)
     tcfg = cfg.get("training", {})
     if tcfg.get("data_parallel"):

@@ -135,7 +135,13 @@ def run(tag: str, group_frac=1.0, hit_frac=0.5, seed=0):
 
 
 if __name__ == "__main__":
-    if "fracs" in sys.argv:
+    frac_args = [a for a in sys.argv if a.startswith("frac=")]
+    if frac_args:
+        # single extra ladder point, e.g. frac=2.0 (full pair coverage at K=2)
+        for a in frac_args:
+            sys.argv.remove(a)
+            run("cp", group_frac=float(a.split("=", 1)[1]))
+    elif "fracs" in sys.argv:
         # group-budget compaction quality sweep (VERDICT r2 item 2): the
         # uncompacted oracle vs realistic group budgets, same backbone/seed
         sys.argv.remove("fracs")
