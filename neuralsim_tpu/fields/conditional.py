@@ -49,6 +49,7 @@ class ConditionalPermutoNeuSField(NeuSField):
                  appear_embed_dim: int = 0,
                  ln_inv_s_init: float = math.log(20.0),
                  inv_s_final: Optional[float] = None,
+                 inv_s_anneal_start_it: int = 0,
                  inv_s_anneal_stop_it: int = 0,
                  cos_anneal_stop_it: int = 0,
                  radius_init: float = 0.4,
@@ -64,6 +65,7 @@ class ConditionalPermutoNeuSField(NeuSField):
         self.appear_embed_dim = appear_embed_dim
         self.ln_inv_s_init = ln_inv_s_init
         self.inv_s_final = inv_s_final
+        self.inv_s_anneal_start_it = inv_s_anneal_start_it
         self.inv_s_anneal_stop_it = inv_s_anneal_stop_it
         self.cos_anneal_stop_it = cos_anneal_stop_it
         self.sdf_scale = 1.0

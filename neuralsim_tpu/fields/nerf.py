@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from .blocks import MLP
 from .embedders import get_embedder, sinusoidal_embedder
 from .encodings.lotd import make_lotd
-from .spatial import AABBSpace, contract_inverted_sphere
+from .spatial import (AABBSpace, contract_inverted_cuboid,
+                      contract_inverted_sphere)
 from ..ops.segment import tau_to_alpha
 
 Params = Dict[str, Any]
@@ -141,8 +142,16 @@ class NeRFDistantField:
                  decoder_hidden: int = 64, decoder_depth: int = 1,
                  radiance_hidden: int = 64, radiance_depth: int = 2,
                  use_view_dirs: bool = True, sh_degree: int = 4,
-                 appear_embed_dim: int = 0):
+                 appear_embed_dim: int = 0,
+                 cr_aabb: Optional[Any] = None):
         self.inner_radius = inner_radius
+        # fixed_cuboid_shells mode: shells scale the close-range AABB; set
+        # at construction (model_params.cr_aabb) or auto-wired from the cr
+        # model by the driver builders (set_cr_aabb)
+        self.cub_center = None
+        self.cub_half = None
+        if cr_aabb is not None:
+            self.set_cr_aabb(cr_aabb)
         self.appear_embed_dim = appear_embed_dim
         self.use_view_dirs = use_view_dirs
         if geometry == "lotd":
@@ -172,8 +181,26 @@ class NeRFDistantField:
             p["encoding"] = self.encoding.init(k3)
         return p
 
+    def set_cr_aabb(self, aabb) -> None:
+        """Switch to fixed_cuboid_shells contraction around the close-range
+        AABB (reference LoTDNeRFDistant.asset_populate takes
+        cr_obj.model.space.aabb, app/models/single/nerf.py:160-187). Accepts
+        an AABBSpace or an (aabb_min, aabb_max) pair / [2, 3] array."""
+        if hasattr(aabb, "aabb_min"):
+            mn, mx = aabb.aabb_min, aabb.aabb_max
+        else:
+            arr = jnp.asarray(aabb, jnp.float32).reshape(2, 3)
+            mn, mx = arr[0], arr[1]
+        mn = jnp.asarray(mn, jnp.float32)
+        mx = jnp.asarray(mx, jnp.float32)
+        self.cub_center = 0.5 * (mn + mx)
+        self.cub_half = jnp.maximum(0.5 * (mx - mn), 1e-6)
+
     def query_density_feat(self, params: Params, x: jnp.ndarray):
-        c = contract_inverted_sphere(x, self.inner_radius)  # [..., 4]
+        if self.cub_center is not None:
+            c = contract_inverted_cuboid(x, self.cub_center, self.cub_half)
+        else:
+            c = contract_inverted_sphere(x, self.inner_radius)  # [..., 4]
         if self.encoding is not None:
             u = jnp.concatenate([c[..., :3] * 0.5 + 0.5, c[..., 3:]], axis=-1)
             h = self.encoding(params["encoding"], u)

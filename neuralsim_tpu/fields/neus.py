@@ -125,6 +125,7 @@ class NeuSField:
                  appear_embed_dim: int = 0,
                  ln_inv_s_init: float = math.log(20.0),
                  inv_s_final: Optional[float] = None,
+                 inv_s_anneal_start_it: int = 0,
                  inv_s_anneal_stop_it: int = 0,
                  cos_anneal_stop_it: int = 0,
                  radius_init: float = 0.5,
@@ -142,6 +143,7 @@ class NeuSField:
         self.appear_embed_dim = appear_embed_dim
         self.ln_inv_s_init = ln_inv_s_init
         self.inv_s_final = inv_s_final
+        self.inv_s_anneal_start_it = inv_s_anneal_start_it
         self.inv_s_anneal_stop_it = inv_s_anneal_stop_it
         self.cos_anneal_stop_it = cos_anneal_stop_it
         self.sdf_scale = sdf_scale
@@ -375,7 +377,16 @@ class NeuSField:
             return jnp.asarray(override, jnp.float32)
         inv_s = jnp.exp(params["ln_inv_s"])
         if self.inv_s_final is not None and it is not None and self.inv_s_anneal_stop_it > 0:
-            frac = jnp.clip(jnp.asarray(it, jnp.float32) / self.inv_s_anneal_stop_it, 0.0, 1.0)
+            # reference var_ctrl mix_linear semantics (streetsurf config
+            # :149-156): the mix only BEGINS at start_it (e.g. 20% of
+            # training) so the learned ln_inv_s warms up on its own first —
+            # annealing from step 0 crispens alpha while geometry is still
+            # coarse and measurably blows up the SDF (r3 street-collapse
+            # bisect, scripts/bisect_street_collapse.py)
+            start = self.inv_s_anneal_start_it
+            span = max(self.inv_s_anneal_stop_it - start, 1)
+            frac = jnp.clip((jnp.asarray(it, jnp.float32) - start) / span,
+                            0.0, 1.0)
             inv_s = (1.0 - frac) * inv_s + frac * self.inv_s_final
         return inv_s
 

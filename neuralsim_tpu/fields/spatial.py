@@ -94,6 +94,23 @@ class BatchedAABBSpace:
         return ray_aabb_intersect(rays_o, rays_d, mn, mx)
 
 
+def contract_inverted_cuboid(x: jnp.ndarray, center: jnp.ndarray,
+                             half: jnp.ndarray) -> jnp.ndarray:
+    """NeRF++ ``fixed_cuboid_shells`` parameterization (reference distant
+    config: distant_mode fixed_cuboid_shells, radius_scale_min 1 —
+    withmask_withlidar_joint.240219.yaml:19-23): shells are SCALED COPIES OF
+    THE CLOSE-RANGE CUBOID, so every point with cuboid-radius ρ < 1 (i.e.
+    inside the cr AABB) aliases to the ρ=1 shell — the distant field CANNOT
+    represent content inside the close-range volume. This is the constraint
+    that keeps the background model from stealing the road (r3
+    street-collapse bisect). Returns [..., 4] = (unit-shell coords, 1/ρ).
+    """
+    xc = (x - center) / half
+    rho = jnp.max(jnp.abs(xc), axis=-1, keepdims=True)
+    rho = jnp.clip(rho, 1.0)
+    return jnp.concatenate([xc / rho, 1.0 / rho], axis=-1)
+
+
 def contract_inverted_sphere(x: jnp.ndarray, inner_radius: float = 1.0) -> jnp.ndarray:
     """NeRF++ inverted-sphere parameterization for background ("Distant")
     models: points with r > R map to (x/r * (2 - R/r) style contraction).

@@ -140,6 +140,7 @@ class LoTDNeuSStreet(AssetModel):
             radiance_hidden=mp.get("radiance_hidden", 64),
             ln_inv_s_init=float(np.log(mp.get("inv_s_init", 10.0))),
             inv_s_final=mp.get("inv_s_final", 2000.0),
+            inv_s_anneal_start_it=mp.get("inv_s_anneal_start_it", 0),
             inv_s_anneal_stop_it=mp.get("inv_s_anneal_stop_it", 0),
             cos_anneal_stop_it=mp.get("cos_anneal_stop_it", 0),
             appear_embed_dim=mp.get("appear_embed_dim", 0),
@@ -259,7 +260,12 @@ class LoTDNeRFDistant(AssetModel):
             geometry=mp.get("geometry", "lotd"),
             encoding_cfg=mp.get("encoding_cfg"),
             geo_feat_dim=mp.get("geo_feat_dim", 15),
-            appear_embed_dim=mp.get("appear_embed_dim", 0))
+            appear_embed_dim=mp.get("appear_embed_dim", 0),
+            # fixed_cuboid_shells: explicit AABB here, or auto-wired from
+            # the close-range model's space by the driver builders
+            # (reference asset_populate cr_obj_classname semantics,
+            # app/models/single/nerf.py:160-187)
+            cr_aabb=mp.get("cr_aabb"))
         self.query_cfg = dict(mp.get("query_cfg", {}))
 
 

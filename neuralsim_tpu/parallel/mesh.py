@@ -41,7 +41,8 @@ def replicated_spec(tree: Any) -> Any:
 
 def make_sharded_train_step(trainer, mesh: Mesh, step_type: str = "pixel",
                             axis_name: str = "data", example_batch=None,
-                            cam_id: Optional[str] = None):
+                            cam_id: Optional[str] = None,
+                            advance_it: bool = True):
     """Build the pjit'd data-parallel train step.
 
     Batch leaves are sharded on the ray axis; TrainState is replicated. XLA
@@ -57,7 +58,8 @@ def make_sharded_train_step(trainer, mesh: Mesh, step_type: str = "pixel",
     """
 
     def step(state, batch, key):
-        return trainer.train_step(state, batch, key, step_type, cam_id)
+        return trainer.train_step(state, batch, key, step_type, cam_id,
+                                  advance_it)
 
     batch_sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
@@ -106,7 +108,7 @@ class ShardedTrainer:
         return getattr(self.trainer, name)
 
     def train_step(self, state, batch, key, step_type: str = "pixel",
-                   cam_id: Optional[str] = None):
+                   cam_id: Optional[str] = None, advance_it: bool = True):
         lead = {k: v.shape[0] for k, v in batch.items()
                 if hasattr(v, "shape") and v.ndim >= 1}
         bad = {k: n for k, n in lead.items() if n % self.n_devices}
@@ -115,11 +117,12 @@ class ShardedTrainer:
                 f"data_parallel: batch axes {bad} not divisible by "
                 f"{self.n_devices} devices — round training.n_rays/"
                 f"n_rays_lidar/patch sizes to a multiple of the device count")
-        sig = (step_type, cam_id)
+        sig = (step_type, cam_id, advance_it)
         if sig not in self._steps:
             self._steps[sig] = make_sharded_train_step(
                 self.trainer, self.mesh, step_type,
-                axis_name=self.axis_name, cam_id=cam_id)
+                axis_name=self.axis_name, cam_id=cam_id,
+                advance_it=advance_it)
         return self._steps[sig](state, batch, key)
 
 

@@ -453,6 +453,15 @@ class BufferComposeRenderer:
                     if role == "cr" and getattr(asset, "accel", None) is not None:
                         accels["cr"] = asset.accel
                     break
+        # fixed_cuboid_shells auto-wiring (see tools/train.build_everything):
+        # the distant field's nearest shell is the street cuboid, so the
+        # background cannot steal close-range content (r3 street-collapse fix)
+        if "cr" in scene_models and "distant" in scene_models:
+            dv = scene_models["distant"][0]
+            cr_field = scene_models["cr"][0]
+            if getattr(dv, "cub_center", None) is None \
+                    and hasattr(cr_field, "space"):
+                dv.set_cr_aabb(cr_field.space)
         return cls(scene, objects, scene_models, obj_query_cfg=obj_query_cfg,
                    accels=accels, **kw)
 

@@ -64,6 +64,14 @@ def build_everything(cfg):
         raise ValueError(f"no close-range asset of class {rcfg.get('cr_class','Main')}")
     bind("distant", rcfg.get("distant_class", "Distant"))
     bind("sky", rcfg.get("sky_class", "Sky"))
+    # fixed_cuboid_shells auto-wiring: the distant model's nearest shell is
+    # the close-range cuboid itself, so it cannot represent content inside
+    # the cr volume (reference LoTDNeRFDistant.asset_populate,
+    # app/models/single/nerf.py:160-187)
+    dv = roles.get("distant")
+    if dv is not None and getattr(dv, "cub_center", None) is None \
+            and hasattr(roles["cr"], "space"):
+        dv.set_cr_aabb(roles["cr"].space)
 
     accels = {}
     if getattr(cr_asset, "accel", None) is not None and \
@@ -359,8 +367,11 @@ def main_function(cfg) -> Dict[str, Any]:
                 lb = lidar_sampler.sample()
                 if lb is not None:
                     key, sk = jax.random.split(key)
+                    # advance_it=False: `it` counts loop iterations, not
+                    # optimizer steps (reference train.py:1651)
                     state, ml = trainer.train_step(
-                        state, lift_lidar_batch(scene, lb), sk, "lidar")
+                        state, lift_lidar_batch(scene, lb), sk, "lidar",
+                        None, False)
                     sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
                     rays_done += tcfg.get("n_rays_lidar", 4096)
             if patch_sampler is not None and (it + 1) % i_patch == 0:
@@ -368,13 +379,14 @@ def main_function(cfg) -> Dict[str, Any]:
                 key, sk = jax.random.split(key)
                 state, mp = trainer.train_step(state, to_device_batch(praw),
                                                sk, "image_patch",
-                                               praw["cam_id"])
+                                               praw["cam_id"], False)
                 sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
             if view_sampler is not None and (it + 1) % i_view == 0:
                 vraw = view_sampler.sample(it)
                 key, sk = jax.random.split(key)
                 state, mv = trainer.train_step(state, to_device_batch(vraw),
-                                               sk, "view", vraw["cam_id"])
+                                               sk, "view", vraw["cam_id"],
+                                               False)
                 sticky_m.update({f"view/{k}": v for k, v in mv.items()})
             if it % i_log == 0:
                 mm = {k: float(np.asarray(v)) for k, v in {**sticky_m, **m}.items()

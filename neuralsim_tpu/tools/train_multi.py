@@ -227,7 +227,10 @@ def main_function(cfg) -> Dict[str, Any]:
                 key, sk = jax.random.split(key)
                 lbatch = lift_lidar_batch(scene, lb)
                 lbatch["rays_fidx"] = jnp.asarray(lb["rays_fidx"])
-                state, ml = trainer.train_step(state, lbatch, sk, "lidar")
+                # advance_it=False: `it` counts loop iterations, not
+                # optimizer steps (reference train.py:1651)
+                state, ml = trainer.train_step(state, lbatch, sk, "lidar",
+                                               None, False)
                 sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
         if patch_sampler is not None and (it + 1) % i_patch == 0:
             praw = patch_sampler.sample(it)
@@ -237,7 +240,8 @@ def main_function(cfg) -> Dict[str, Any]:
             for k in ("image_mono_depth", "image_mono_normals"):
                 if k in praw:
                     pb[k] = jnp.asarray(praw[k])
-            state, mp = trainer.train_step(state, pb, sk, "image_patch")
+            state, mp = trainer.train_step(state, pb, sk, "image_patch",
+                                           None, False)
             sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
         m = {**sticky_m, **m}
         if it % i_log == 0:

@@ -294,12 +294,15 @@ class MultiObjectTrainer:
         return total, {"losses": losses, "aux": aux}
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=(1,))
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6), donate_argnums=(1,))
     def train_step(self, state: TrainState, batch, key,
-                   step_type: str = "pixel", cam_id: Optional[str] = None):
+                   step_type: str = "pixel", cam_id: Optional[str] = None,
+                   advance_it: bool = True):
         """cam_id (static) selects the camera for in-jit ray lifting of
         rays_xy batches; signature matches Trainer.train_step so
-        make_sharded_train_step works on both."""
+        make_sharded_train_step works on both. ``advance_it=False`` for
+        secondary step types within one loop iteration (see
+        Trainer.train_step)."""
         def loss_fn(p):
             return self.compute_losses(p, batch, state.it, key, step_type,
                                        occ=state.occ, cam_id=cam_id)
@@ -341,4 +344,5 @@ class MultiObjectTrainer:
                         lambda x, f=field, p=fp: f.query_sdf(p, x),
                         k_occ, state.it)
         metrics = {"loss_total": total, **extras["losses"], **extras["aux"]}
-        return TrainState(params, opt_state, state.it + 1, occ), metrics
+        it_next = state.it + 1 if advance_it else state.it
+        return TrainState(params, opt_state, it_next, occ), metrics

@@ -304,12 +304,18 @@ class Trainer:
         return total, {"losses": losses, "aux": aux}
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=(1,))
+    @partial(jax.jit, static_argnums=(0, 4, 5, 6), donate_argnums=(1,))
     def train_step(self, state: TrainState, batch: Dict[str, jnp.ndarray],
                    key, step_type: str = "pixel",
-                   cam_id: Optional[str] = None) -> Tuple[TrainState, Dict]:
+                   cam_id: Optional[str] = None,
+                   advance_it: bool = True) -> Tuple[TrainState, Dict]:
         """One optimizer step. Jitted; donate state for in-place updates.
-        ``cam_id`` (static) selects the camera for in-jit ray lifting."""
+        ``cam_id`` (static) selects the camera for in-jit ray lifting.
+        ``advance_it=False`` for secondary step types within one loop
+        iteration (lidar/image_patch/view) — the reference counts ``it``
+        once per loop iteration (train.py:1651), not per optimizer step,
+        so all it-driven schedules (inv_s anneal, occ cadence, annealers)
+        see loop iterations."""
 
         def loss_fn(params):
             return self.compute_losses(params, batch, state.it, key, step_type,
@@ -345,7 +351,8 @@ class Trainer:
         metrics = {"loss_total": total, **extras["losses"], **extras["aux"]}
         if occ is not None and "cr" in occ:
             metrics["occ_frac"] = jnp.mean(occ["cr"].mask.astype(jnp.float32))
-        return TrainState(params, opt_state, state.it + 1, occ), metrics
+        it_next = state.it + 1 if advance_it else state.it
+        return TrainState(params, opt_state, it_next, occ), metrics
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

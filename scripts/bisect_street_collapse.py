@@ -1,0 +1,142 @@
+"""Bisect the waymo-demo street-model collapse (r3): train the tiny demo
+scene on CPU under config variants and track, every N iters,
+  * street SDF at the road surface (should stay ~0),
+  * street occ-grid occupied fraction,
+  * street visibility mass in the camera composite.
+
+Usage: python scripts/bisect_street_collapse.py <variant> [iters]
+variants: base | noaccel | nosparsity | nodistant | nolidar
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import yaml
+
+VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base"
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+PROBE_EVERY = 50
+
+
+def main():
+    import os
+
+    from neuralsim_tpu.dataio.dataloader import LidarSampler, PixelSampler
+    from neuralsim_tpu.dataio.waymo_demo import build_demo_sequence
+    from neuralsim_tpu.tools.train import lift_lidar_batch, lift_pixel_batch
+    from neuralsim_tpu.tools.train_multi import build_everything_multi
+
+    root = "logs/bisect_demo_data"
+    if not os.path.isdir(os.path.join(root, "demo_drive")):
+        build_demo_sequence(root, n_frames=4, H=40, W=60, n_vehicles=2)
+
+    cfg = yaml.safe_load(open("configs/waymo_demo_multi.yaml"))
+    cfg["dataset_cfg"]["params"]["root"] = root
+    cfg.update(exp_dir=f"logs/bisect_{VARIANT}", platform="cpu")
+    cfg["training"].update({"num_iters": ITERS, "n_rays": 512,
+                            "n_rays_lidar": 256, "i_log": 10 ** 9,
+                            "i_val": 0})
+    st = cfg["assetbank_cfg"]["Street"]["model_params"]
+    st["encoding_cfg"].update({"n_levels": 6, "max_res": 128,
+                               "cp_max_res": 128})
+    if VARIANT == "noaccel":
+        st["accel_cfg"] = None
+    if VARIANT == "nosparsity":
+        cfg["training"]["losses"].pop("sparsity", None)
+    if VARIANT == "nodistant":
+        cfg["assetbank_cfg"].pop("Distant")
+    if VARIANT == "nomask":
+        cfg["training"]["losses"].pop("occupancy_mask", None)
+    if VARIANT == "norgb":
+        cfg["training"]["losses"]["rgb"]["w"] = 0.0
+    if VARIANT == "noeik":
+        cfg["training"]["losses"].pop("eikonal", None)
+    if VARIANT == "noanneal":
+        st.pop("inv_s_final", None)
+        st.pop("inv_s_anneal_stop_it", None)
+    if VARIANT == "nolidar":
+        cfg["training"]["with_lidar"] = False
+        cfg["training"]["losses"].pop("lidar", None)
+
+    scene, bank, renderer, trainer, loader, dataset = \
+        build_everything_multi(cfg)
+    params = bank.init_params(jax.random.PRNGKey(0))
+    params = bank.training_initialize(params, jax.random.PRNGKey(1))
+    state = trainer.init_state(jax.random.PRNGKey(2), params=params)
+
+    mid = renderer.scene_models["cr"][1]
+    field = renderer.scene_models["cr"][0]
+
+    # probes: road-surface SDF + a fixed camera ray batch's street vis mass
+    zs = np.array([0.0, 0.05, 0.1], np.float32)
+    road_pts = jnp.asarray(np.stack([
+        np.repeat(np.array([0.0, 10.0, 25.0], np.float32), 3),
+        np.zeros(9, np.float32),
+        np.tile(zs, 3)], -1))
+
+    probe_sampler = PixelSampler(loader, n_rays=512, seed=777)
+    probe_raw = probe_sampler.sample()
+    probe_b = lift_pixel_batch(scene, probe_raw)
+
+    def probe(state):
+        sdf = np.asarray(field.query_sdf(state.params[mid], road_pts))
+        occ = state.occ.get("cr") if state.occ else None
+        occf = float(np.asarray(occ.mask).mean()) if occ is not None else -1.0
+        r = renderer.ray_query(state.params,
+                               scene.slice_at(jnp.asarray(
+                                   probe_raw["rays_fidx"])),
+                               probe_b["rays_o"], probe_b["rays_d"],
+                               key=None, it=int(state.it),
+                               occ_states=state.occ, with_per_obj=True)
+        street = r["rendered_per_obj_in_scene"].get("street")
+        sv = float(np.asarray(street["mask_volume"]).mean()) \
+            if street is not None else -1.0
+        inv_s = float(np.asarray(field.forward_inv_s(
+            state.params[mid], it=int(state.it))))
+        return dict(inv_s=round(inv_s, 1),
+                    road_sdf=round(float(sdf.mean()), 4),
+                    occ_frac=round(occf, 4),
+                    street_vis=round(sv, 4),
+                    total_vis=round(float(np.asarray(
+                        r["mask_volume"]).mean()), 4))
+
+    sampler = PixelSampler(loader, n_rays=512, seed=42)
+    lidar_sampler = LidarSampler(loader, n_rays=256) \
+        if cfg["training"].get("with_lidar") else None
+
+    key = jax.random.PRNGKey(3)
+    print(json.dumps({"variant": VARIANT, "it": 0, **probe(state)}),
+          flush=True)
+    for i in range(1, ITERS + 1):
+        raw = sampler.sample()
+        key, sk = jax.random.split(key)
+        jit_keys = ("rays_xy", "rays_fidx", "image_rgb",
+                    "image_occupancy_mask", "image_ignore_mask")
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k in jit_keys}
+        state, m = trainer.train_step(state, batch, sk, "pixel",
+                                      raw["cam_id"])
+        if lidar_sampler is not None:
+            lb = lidar_sampler.sample()
+            if lb is not None:
+                key, sk = jax.random.split(key)
+                lbatch = lift_lidar_batch(scene, lb)
+                lbatch["rays_fidx"] = jnp.asarray(lb["rays_fidx"])
+                state, _ = trainer.train_step(state, lbatch, sk, "lidar")
+        if i % PROBE_EVERY == 0:
+            print(json.dumps({"variant": VARIANT, "it": i,
+                              "loss": round(float(m["loss_total"]), 4),
+                              **probe(state)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
