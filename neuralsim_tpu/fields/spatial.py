@@ -107,8 +107,11 @@ def contract_inverted_cuboid(x: jnp.ndarray, center: jnp.ndarray,
     """
     xc = (x - center) / half
     rho = jnp.max(jnp.abs(xc), axis=-1, keepdims=True)
-    rho = jnp.clip(rho, 1.0)
-    return jnp.concatenate([xc / rho, 1.0 / rho], axis=-1)
+    # Project with the UNCLIPPED radius so interior points (rho < 1) land on
+    # the rho=1 shell; only the inverse-depth channel is clipped to the shell.
+    shell = xc / jnp.maximum(rho, 1e-9)
+    inv = 1.0 / jnp.maximum(rho, 1.0)
+    return jnp.concatenate([shell, inv], axis=-1)
 
 
 def contract_inverted_sphere(x: jnp.ndarray, inner_radius: float = 1.0) -> jnp.ndarray:

@@ -25,11 +25,13 @@ def _w(cfg: Dict, it, default: float = 1.0) -> jnp.ndarray:
     w = cfg.get("w", default)
     if isinstance(w, dict):
         return get_anneal_val(it, **w)
+    w = jnp.asarray(w, jnp.float32)
     anneal = cfg.get("anneal")
     if anneal:
-        return jnp.asarray(w) * get_anneal_val(it, **anneal)
+        w = w * get_anneal_val(it, **anneal)
+    # enable_after gates regardless of anneal (a config may combine a
+    # nonzero-start anneal with a later enable_after; ADVICE r3 low)
     enable_after = cfg.get("enable_after", 0)
-    w = jnp.asarray(w, jnp.float32)
     if enable_after:
         w = w * (jnp.asarray(it) >= enable_after)
     return w

@@ -459,7 +459,8 @@ class BufferComposeRenderer:
         if "cr" in scene_models and "distant" in scene_models:
             dv = scene_models["distant"][0]
             cr_field = scene_models["cr"][0]
-            if getattr(dv, "cub_center", None) is None \
+            if hasattr(dv, "set_cr_aabb") \
+                    and getattr(dv, "cub_center", None) is None \
                     and hasattr(cr_field, "space"):
                 dv.set_cr_aabb(cr_field.space)
         return cls(scene, objects, scene_models, obj_query_cfg=obj_query_cfg,

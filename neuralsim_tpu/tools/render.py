@@ -354,6 +354,57 @@ def main_function(cfg) -> Dict:
                 print(f"video -> {v}")
         print(f"nvs[{path_type}]: {n} frames -> {out_dir}")
 
+    elif mode == "topdown":
+        # Orthographic top-down scene map, one image per frame (reference
+        # code_multi/tools/render_topdown.py:1-101): parallel rays straight
+        # down over the close-range cuboid's xy footprint.
+        from ..scene.observers.extra_cameras import ortho_get_rays
+        cr_field = (getattr(renderer, "models", {}) or {}).get("cr")
+        if cr_field is None and hasattr(renderer, "r"):   # multi adapter
+            sm = renderer.r.scene_models.get("cr")
+            cr_field = sm[0] if sm else None
+        space = getattr(cr_field, "space", None)
+        if rcfg.get("extent"):
+            (x0, y0), (x1, y1) = rcfg["extent"]
+            z_top = float(rcfg.get("altitude", 50.0))
+        elif space is not None:
+            mn = np.asarray(space.aabb_min)
+            mx = np.asarray(space.aabb_max)
+            x0, y0, x1, y1 = float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1])
+            z_top = float(mx[2]) + 0.25 * float(mx[2] - mn[2]) + 1.0
+        else:
+            raise ValueError("topdown needs a cr model with a space, or "
+                             "render.extent=[[x0,y0],[x1,y1]]")
+        Wt = int(rcfg.get("topdown_w", 320))
+        Ht = max(int(round(Wt * (y1 - y0) / max(x1 - x0, 1e-6))), 8)
+        # camera basis in world (columns): x=+x, y=-y, z=-z (looking down)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+        c2w[:3, 3] = [0.5 * (x0 + x1), 0.5 * (y0 + y1), z_top]
+        ys, xs = np.meshgrid(np.arange(Ht) + 0.5, np.arange(Wt) + 0.5,
+                             indexing="ij")
+        xy = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2)
+                         .astype(np.float32))
+        ro, rd = ortho_get_rays(xy, jnp.asarray(c2w),
+                                width=x1 - x0, height=y1 - y0, W=Wt, H=Ht)
+        fis = frames or list(range(scene.n_frames))
+        for fi in fis:
+            if hasattr(renderer, "set_frame"):
+                renderer.set_frame(fi)
+            r = render_frame_rays(ro, rd, fi=fi)
+            rgb = np.asarray(r["rgb_volume"]).reshape(Ht, Wt, 3)
+            _write_png(os.path.join(out_dir, f"rgb_{fi:04d}.png"),
+                       (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            # height map: z = z_top - depth (ortho rays are unit -z)
+            height = z_top - np.asarray(r["depth_volume"]).reshape(Ht, Wt)
+            _write_png(os.path.join(out_dir, f"height_{fi:04d}.png"),
+                       (color_depth(height) * 255).astype(np.uint8))
+        if rcfg.get("video", True):
+            v = assemble_video(out_dir, "rgb_", int(rcfg.get("fps", 12)))
+            if v:
+                print(f"video -> {v}")
+        print(f"topdown: {len(fis)} frames ({Wt}x{Ht}) -> {out_dir}")
+
     elif mode == "lidar":
         # LiDAR simulation (reference render.py:246-330): either replay the
         # dataset beams re-rendered, or a synthetic model mounted on a node.

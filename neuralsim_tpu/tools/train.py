@@ -69,7 +69,8 @@ def build_everything(cfg):
     # the cr volume (reference LoTDNeRFDistant.asset_populate,
     # app/models/single/nerf.py:160-187)
     dv = roles.get("distant")
-    if dv is not None and getattr(dv, "cub_center", None) is None \
+    if dv is not None and hasattr(dv, "set_cr_aabb") \
+            and getattr(dv, "cub_center", None) is None \
             and hasattr(roles["cr"], "space"):
         dv.set_cr_aabb(roles["cr"].space)
 
@@ -351,6 +352,34 @@ def main_function(cfg) -> Dict[str, Any]:
                     break
                 rays_done += tcfg.get("n_rays", 4096)
                 continue
+            # Secondary step types first (advance_it=False), primary pixel
+            # step last (advances `it` + refreshes the occ grid): every step
+            # type of one loop iteration sees the SAME `it` and the occ EMA
+            # fires exactly once per iteration — matching the reference's
+            # it-per-loop accounting (train.py:1651; ADVICE r3 medium).
+            if lidar_sampler is not None:
+                lb = lidar_sampler.sample()
+                if lb is not None:
+                    key, sk2 = jax.random.split(key)
+                    state, ml = trainer.train_step(
+                        state, lift_lidar_batch(scene, lb), sk2, "lidar",
+                        None, False)
+                    sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
+                    rays_done += tcfg.get("n_rays_lidar", 4096)
+            if patch_sampler is not None and (it + 1) % i_patch == 0:
+                praw = patch_sampler.sample(it)
+                key, sk2 = jax.random.split(key)
+                state, mp = trainer.train_step(state, to_device_batch(praw),
+                                               sk2, "image_patch",
+                                               praw["cam_id"], False)
+                sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
+            if view_sampler is not None and (it + 1) % i_view == 0:
+                vraw = view_sampler.sample(it)
+                key, sk2 = jax.random.split(key)
+                state, mv = trainer.train_step(state, to_device_batch(vraw),
+                                               sk2, "view", vraw["cam_id"],
+                                               False)
+                sticky_m.update({f"view/{k}": v for k, v in mv.items()})
             raw = pixel_sampler.sample()
             # rays lifted INSIDE the jitted step (pose-delta gradients flow);
             # cam_id is a static argument selecting the camera
@@ -363,31 +392,6 @@ def main_function(cfg) -> Dict[str, Any]:
                                    raw["rays_sel"][:, 0],
                                    np.asarray(m["err_map"]), H, W,
                                    cam_id=raw["cam_id"])
-            if lidar_sampler is not None:
-                lb = lidar_sampler.sample()
-                if lb is not None:
-                    key, sk = jax.random.split(key)
-                    # advance_it=False: `it` counts loop iterations, not
-                    # optimizer steps (reference train.py:1651)
-                    state, ml = trainer.train_step(
-                        state, lift_lidar_batch(scene, lb), sk, "lidar",
-                        None, False)
-                    sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
-                    rays_done += tcfg.get("n_rays_lidar", 4096)
-            if patch_sampler is not None and (it + 1) % i_patch == 0:
-                praw = patch_sampler.sample(it)
-                key, sk = jax.random.split(key)
-                state, mp = trainer.train_step(state, to_device_batch(praw),
-                                               sk, "image_patch",
-                                               praw["cam_id"], False)
-                sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
-            if view_sampler is not None and (it + 1) % i_view == 0:
-                vraw = view_sampler.sample(it)
-                key, sk = jax.random.split(key)
-                state, mv = trainer.train_step(state, to_device_batch(vraw),
-                                               sk, "view", vraw["cam_id"],
-                                               False)
-                sticky_m.update({f"view/{k}": v for k, v in mv.items()})
             if it % i_log == 0:
                 mm = {k: float(np.asarray(v)) for k, v in {**sticky_m, **m}.items()
                       if np.asarray(v).ndim == 0}

@@ -205,6 +205,31 @@ def main_function(cfg) -> Dict[str, Any]:
                           f"x{row['count']}", flush=True)
                 break
             continue
+        # Secondary step types first (advance_it=False), primary pixel step
+        # last (advances `it` + refreshes occ): every step type of one loop
+        # iteration sees the SAME `it` and the occ EMA fires exactly once
+        # (reference it-per-loop accounting train.py:1651; ADVICE r3 medium).
+        if lidar_sampler is not None:
+            lb = lidar_sampler.sample()
+            if lb is not None:
+                from .train import lift_lidar_batch
+                key, sk2 = jax.random.split(key)
+                lbatch = lift_lidar_batch(scene, lb)
+                lbatch["rays_fidx"] = jnp.asarray(lb["rays_fidx"])
+                state, ml = trainer.train_step(state, lbatch, sk2, "lidar",
+                                               None, False)
+                sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
+        if patch_sampler is not None and (it + 1) % i_patch == 0:
+            praw = patch_sampler.sample(it)
+            key, sk2 = jax.random.split(key)
+            pb = lift_pixel_batch(scene, praw)
+            pb["rays_fidx"] = jnp.asarray(praw["rays_fidx"])
+            for k in ("image_mono_depth", "image_mono_normals"):
+                if k in praw:
+                    pb[k] = jnp.asarray(praw[k])
+            state, mp = trainer.train_step(state, pb, sk2, "image_patch",
+                                           None, False)
+            sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
         raw = sampler.sample()
         if "rays_o" in raw:          # direct world-ray batch (procedural)
             batch = {k: jnp.asarray(v) for k, v in raw.items()
@@ -220,29 +245,6 @@ def main_function(cfg) -> Dict[str, Any]:
                                    raw["rays_sel"][:, 0],
                                    np.asarray(m["err_map"]), H, W,
                                    cam_id=raw["cam_id"])
-        if lidar_sampler is not None:
-            lb = lidar_sampler.sample()
-            if lb is not None:
-                from .train import lift_lidar_batch
-                key, sk = jax.random.split(key)
-                lbatch = lift_lidar_batch(scene, lb)
-                lbatch["rays_fidx"] = jnp.asarray(lb["rays_fidx"])
-                # advance_it=False: `it` counts loop iterations, not
-                # optimizer steps (reference train.py:1651)
-                state, ml = trainer.train_step(state, lbatch, sk, "lidar",
-                                               None, False)
-                sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
-        if patch_sampler is not None and (it + 1) % i_patch == 0:
-            praw = patch_sampler.sample(it)
-            key, sk = jax.random.split(key)
-            pb = lift_pixel_batch(scene, praw)
-            pb["rays_fidx"] = jnp.asarray(praw["rays_fidx"])
-            for k in ("image_mono_depth", "image_mono_normals"):
-                if k in praw:
-                    pb[k] = jnp.asarray(praw[k])
-            state, mp = trainer.train_step(state, pb, sk, "image_patch",
-                                           None, False)
-            sticky_m.update({f"patch/{k}": v for k, v in mp.items()})
         m = {**sticky_m, **m}
         if it % i_log == 0:
             mm = {k: float(np.asarray(v)) for k, v in m.items()

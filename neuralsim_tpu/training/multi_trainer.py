@@ -320,9 +320,12 @@ class MultiObjectTrainer:
         params = optax.apply_updates(state.params, updates)
 
         # EMA occupancy refresh for every accel-equipped model (batched
-        # categorical grids update all instances in one pass)
+        # categorical grids update all instances in one pass). Gated on
+        # advance_it so only the primary step of each loop iteration
+        # refreshes — secondary steps would double-apply the EMA decay
+        # on cadence hits (ADVICE r3 medium).
         occ = state.occ
-        if occ is not None:
+        if occ is not None and advance_it:
             k_occ = jax.random.fold_in(key, 7)
             occ = dict(occ)
             fields = self._fields_by_model()

@@ -336,9 +336,12 @@ class Trainer:
         params = optax.apply_updates(state.params, updates)
 
         # EMA occupancy-grid refresh on its cadence (reference
-        # n_steps_between_update; state carried explicitly)
+        # n_steps_between_update; state carried explicitly). Only the
+        # primary (it-advancing) step refreshes: secondary steps
+        # (advance_it=False) run at the same `it` and would double-apply
+        # the EMA decay on cadence hits (ADVICE r3 medium).
         occ = state.occ
-        if occ is not None:
+        if occ is not None and advance_it:
             k_occ = jax.random.fold_in(key, 7)
             occ = dict(occ)
             for role, accel in self.renderer.accels.items():

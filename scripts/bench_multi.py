@@ -175,6 +175,8 @@ def run(K: int, n_rays: int = None, iters: int = None):
 
 
 if __name__ == "__main__":
-    ks = [int(a) for a in sys.argv[1:]] or [2, 8, 16]
-    for k in ks:
-        run(k)
+    from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
+    with tpu_chip_lock("scripts/bench_multi.py"):
+        ks = [int(a) for a in sys.argv[1:]] or [2, 8, 16]
+        for k in ks:
+            run(k)

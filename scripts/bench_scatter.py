@@ -2,6 +2,8 @@
 VJP on the TPU at hash-grid scale."""
 import sys, os, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from neuralsim_tpu.utils.tpu_lock import acquire_for_process
+acquire_for_process("scripts/bench_scatter.py")
 import jax
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
 import jax.numpy as jnp

@@ -117,5 +117,7 @@ def run(arm: str, seed: int = 0):
 
 
 if __name__ == "__main__":
-    for arm in ("perinst", "pairfold", "pairscat"):
-        run(arm)
+    from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
+    with tpu_chip_lock("scripts/bisect_pairmode_quality.py"):
+        for arm in ("perinst", "pairfold", "pairscat"):
+            run(arm)

@@ -67,9 +67,29 @@ def main():
     if VARIANT == "nolidar":
         cfg["training"]["with_lidar"] = False
         cfg["training"]["losses"].pop("lidar", None)
+    if VARIANT == "noclearance":
+        cfg["training"]["losses"].pop("clearance", None)
+    if VARIANT == "nolos":
+        cfg["training"]["losses"]["lidar"].pop("line_of_sight", None)
+    if VARIANT == "weaklos":
+        cfg["training"]["losses"]["lidar"]["line_of_sight"]["w"] = 0.01
+    if VARIANT == "urbanlos":
+        los = cfg["training"]["losses"]["lidar"]["line_of_sight"]
+        los["fn_type"] = "neus_urban"   # adds the gaussian attraction term
+    if VARIANT == "l1depth":
+        cfg["training"]["losses"]["lidar"]["depth"] = {"fn_type": "l1",
+                                                       "w": 0.05}
+        cfg["training"]["losses"]["lidar"]["line_of_sight"]["w"] = 0.05
 
     scene, bank, renderer, trainer, loader, dataset = \
         build_everything_multi(cfg)
+    if VARIANT == "nocuboid":
+        # isolate the fixed_cuboid_shells contraction: revert the distant
+        # model to the inverted-sphere parameterization
+        dv = renderer.scene_models.get("distant")
+        if dv is not None:
+            dv[0].cub_center = None
+            dv[0].cub_half = None
     params = bank.init_params(jax.random.PRNGKey(0))
     params = bank.training_initialize(params, jax.random.PRNGKey(1))
     state = trainer.init_state(jax.random.PRNGKey(2), params=params)
@@ -131,7 +151,10 @@ def main():
                 key, sk = jax.random.split(key)
                 lbatch = lift_lidar_batch(scene, lb)
                 lbatch["rays_fidx"] = jnp.asarray(lb["rays_fidx"])
-                state, _ = trainer.train_step(state, lbatch, sk, "lidar")
+                # advance_it=False: match the real driver's it-per-loop
+                # accounting (one advance per loop iteration)
+                state, _ = trainer.train_step(state, lbatch, sk, "lidar",
+                                              None, False)
         if i % PROBE_EVERY == 0:
             print(json.dumps({"variant": VARIANT, "it": i,
                               "loss": round(float(m["loss_total"]), 4),
@@ -139,4 +162,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
+    with tpu_chip_lock("scripts/bisect_street_collapse.py"):
+        main()

@@ -1,6 +1,8 @@
 """Debug: train tiny NeuS on synthetic object, print loss curve + PSNR."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from neuralsim_tpu.utils.tpu_lock import acquire_for_process
+acquire_for_process("scripts/debug_train.py")
 
 import jax
 if os.environ.get("BENCH_CPU", "1") == "1":

@@ -135,28 +135,30 @@ def run(tag: str, group_frac=1.0, hit_frac=0.5, seed=0):
 
 
 if __name__ == "__main__":
-    frac_args = [a for a in sys.argv if a.startswith("frac=")]
-    if frac_args:
-        # single extra ladder point, e.g. frac=2.0 (full pair coverage at K=2)
-        for a in frac_args:
-            sys.argv.remove(a)
-            run("cp", group_frac=float(a.split("=", 1)[1]))
-    elif "fracs" in sys.argv:
-        # group-budget compaction quality sweep (VERDICT r2 item 2): the
-        # uncompacted oracle vs realistic group budgets, same backbone/seed
-        sys.argv.remove("fracs")
-        run("cp", group_frac=None, hit_frac=None)      # exact O(K*N) oracle
-        for gf in (1.0, 0.5, 0.25):
-            run("cp", group_frac=gf)
-    elif "seeds" in sys.argv:
-        # seed-variance of the pair-mode-vs-per-instance comparison: at full
-        # hit coverage both paths compute the same math (bit-exact fwd+grad,
-        # scripts/debug_pairmode_grads.py), so run-to-run PSNR spread across
-        # seeds is the yardstick for reading any single-seed gap
-        sys.argv.remove("seeds")
-        for s in (0, 1, 2):
-            run("cp", group_frac=None, hit_frac=0.5, seed=s)   # per-instance
-            run("cp", group_frac=1.0, hit_frac=0.5, seed=s)    # pair mode
-    else:
-        for tag in ("cp", "permuto"):
-            run(tag)
+    from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
+    with tpu_chip_lock("scripts/quality_ab_multi.py"):
+        frac_args = [a for a in sys.argv if a.startswith("frac=")]
+        if frac_args:
+            # single extra ladder point, e.g. frac=2.0 (full pair coverage at K=2)
+            for a in frac_args:
+                sys.argv.remove(a)
+                run("cp", group_frac=float(a.split("=", 1)[1]))
+        elif "fracs" in sys.argv:
+            # group-budget compaction quality sweep (VERDICT r2 item 2): the
+            # uncompacted oracle vs realistic group budgets, same backbone/seed
+            sys.argv.remove("fracs")
+            run("cp", group_frac=None, hit_frac=None)      # exact O(K*N) oracle
+            for gf in (1.0, 0.5, 0.25):
+                run("cp", group_frac=gf)
+        elif "seeds" in sys.argv:
+            # seed-variance of the pair-mode-vs-per-instance comparison: at full
+            # hit coverage both paths compute the same math (bit-exact fwd+grad,
+            # scripts/debug_pairmode_grads.py), so run-to-run PSNR spread across
+            # seeds is the yardstick for reading any single-seed gap
+            sys.argv.remove("seeds")
+            for s in (0, 1, 2):
+                run("cp", group_frac=None, hit_frac=0.5, seed=s)   # per-instance
+                run("cp", group_frac=1.0, hit_frac=0.5, seed=s)    # pair mode
+        else:
+            for tag in ("cp", "permuto"):
+                run(tag)

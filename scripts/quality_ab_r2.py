@@ -113,4 +113,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
+    with tpu_chip_lock("scripts/quality_ab_r2.py"):
+        main()

@@ -78,15 +78,20 @@ def render_frames():
     return frames
 
 
-def sample_pixels(frames, rng, n):
-    fidx = rng.integers(0, len(frames), n)
+def stack_frames(frames):
+    """[T,H,W,...] arrays for vectorized batch sampling (the r3 per-ray
+    python-loop sampler starved the TPU and blew the 3600s job timeout)."""
+    return {k: np.stack([f[k] for f in frames])
+            for k in ("rays_o", "rays_d", "image_rgb",
+                      "image_occupancy_mask")}
+
+
+def sample_pixels(stacked, rng, n):
+    T = stacked["rays_o"].shape[0]
+    fidx = rng.integers(0, T, n)
     ys = rng.integers(0, H, n)
     xs = rng.integers(0, W, n)
-    out = {k: np.stack([frames[f][k][y, x]
-                        for f, y, x in zip(fidx, ys, xs)])
-           for k in ("rays_o", "rays_d", "image_rgb",
-                     "image_occupancy_mask")}
-    return {k: jnp.asarray(v) for k, v in out.items()}
+    return {k: jnp.asarray(v[fidx, ys, xs]) for k, v in stacked.items()}
 
 
 def main():
@@ -133,14 +138,24 @@ def main():
         uniform_sample_n=1024)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
-    frames = render_frames()
+    stacked = stack_frames(render_frames())
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
     n_rays = 8192
 
+    def eval_psnr():
+        eb = sample_pixels(stacked, np.random.default_rng(999), 16384)
+        r = renderer.ray_query(state.params, eb["rays_o"], eb["rays_d"],
+                               key=None, occ_states=state.occ,
+                               query_overrides={"perturb": False})
+        return float(psnr(r["rgb_volume"], eb["image_rgb"]))
+
+    # record intermediate PSNR so a timed-out job still yields data
+    # (VERDICT r3 weak #4)
+    probe_its = sorted({iters // 3, 2 * iters // 3, iters})
     t_train = 0.0
     for i in range(iters):
-        batch = sample_pixels(frames, rng, n_rays)
+        batch = sample_pixels(stacked, rng, n_rays)
         key, sk = jax.random.split(key)
         t0 = time.perf_counter()
         state, m = trainer.train_step(state, batch, sk, "pixel")
@@ -150,12 +165,11 @@ def main():
             if i == iters - 1:
                 jax.block_until_ready(m["loss_total"])
             t_train += time.perf_counter() - t0
+        if (i + 1) in probe_its and (i + 1) != iters:
+            print(json.dumps({"scene": "street_demo_drive", "it": i + 1,
+                              "psnr": round(eval_psnr(), 2)}), flush=True)
 
-    eb = sample_pixels(frames, np.random.default_rng(999), 16384)
-    r = renderer.ray_query(state.params, eb["rays_o"], eb["rays_d"],
-                           key=None, occ_states=state.occ,
-                           query_overrides={"perturb": False})
-    p = float(psnr(r["rgb_volume"], eb["image_rgb"]))
+    p = eval_psnr()
     rate = (n_rays * (iters - 20) / t_train) if iters > 20 else 0.0
     print(json.dumps({
         "scene": "street_demo_drive", "iters": iters,
@@ -166,4 +180,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
+    with tpu_chip_lock("scripts/quality_ab_street.py"):
+        main()

@@ -63,4 +63,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
+    with tpu_chip_lock("scripts/run_waymo_demo_r3.py"):
+        main()
