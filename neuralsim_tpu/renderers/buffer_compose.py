@@ -373,6 +373,11 @@ class BufferComposeRenderer:
         if "street" in names:
             rendered["rendered_cr"] = rendered["per_src"][names.index("street")]
             rendered["details_cr"] = buffers[names.index("street")]["details"]
+        if "distant" in names and rendered["per_src"][names.index("distant")] \
+                is not None:
+            # cr/dv visibility split for the cross_cr_on_dv mask-entropy
+            # disentangler (reference mask_entropy.py:80-110)
+            rendered["rendered_dv"] = rendered["per_src"][names.index("distant")]
 
         if with_rgb and "sky" in self.scene_models:
             sky, mid, _ = self.scene_models["sky"]

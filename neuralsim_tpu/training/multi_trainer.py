@@ -164,8 +164,15 @@ class MultiObjectTrainer:
                 losses["loss_mask"] = mask_occupancy_loss(
                     rendered, batch, it, self.loss_cfgs["occupancy_mask"])
             if "mask_entropy" in self.loss_cfgs:
-                losses["loss_mask_entropy"] = mask_entropy_loss(
-                    rendered, it, self.loss_cfgs["mask_entropy"])
+                me_cfg = self.loss_cfgs["mask_entropy"]
+                if me_cfg.get("mode", "").startswith("cross") and \
+                        "rendered_cr" in rendered and "rendered_dv" in rendered:
+                    from ..losses import cross_cr_dv_entropy_loss
+                    losses["loss_mask_entropy"] = cross_cr_dv_entropy_loss(
+                        rendered, it, me_cfg)
+                else:
+                    losses["loss_mask_entropy"] = mask_entropy_loss(
+                        rendered, it, me_cfg)
 
         if step_type == "image_patch":
             if "s3im" in self.loss_cfgs:

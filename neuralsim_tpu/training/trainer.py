@@ -185,7 +185,9 @@ class Trainer:
                     rendered, batch, it, self.loss_cfgs["occupancy_mask"])
             if "mask_entropy" in self.loss_cfgs:
                 me_cfg = self.loss_cfgs["mask_entropy"]
-                if me_cfg.get("mode", "").startswith("cross_cr") and                         "rendered_cr" in rendered:
+                if me_cfg.get("mode", "").startswith("cross") and \
+                        "rendered_cr" in rendered and \
+                        "rendered_dv" in rendered:
                     losses["loss_mask_entropy"] = cross_cr_dv_entropy_loss(
                         rendered, it, me_cfg)
                 else:

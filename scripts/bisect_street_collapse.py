@@ -1,11 +1,12 @@
-"""Bisect the waymo-demo street-model collapse (r3): train the tiny demo
-scene on CPU under config variants and track, every N iters,
+"""Bisect the waymo-demo street-model collapse (r3): train the demo scene
+under config variants and track, every N iters,
   * street SDF at the road surface (should stay ~0),
   * street occ-grid occupied fraction,
   * street visibility mass in the camera composite.
 
-Usage: python scripts/bisect_street_collapse.py <variant> [iters]
-variants: base | noaccel | nosparsity | nodistant | nolidar
+Usage: python scripts/bisect_street_collapse.py <variant> [iters] [tpu]
+`tpu` runs at the REAL demo scale (80x120, 8 frames, 3 vehicles, 4096-ray
+batches) on the chip; default is the tiny CPU scene.
 """
 from __future__ import annotations
 
@@ -18,14 +19,18 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+ON_TPU = "tpu" in sys.argv
+if ON_TPU:
+    sys.argv.remove("tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import yaml
 
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base"
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 600
-PROBE_EVERY = 50
+PROBE_EVERY = 50 if not ON_TPU else 100
 
 
 def main():
@@ -36,19 +41,28 @@ def main():
     from neuralsim_tpu.tools.train import lift_lidar_batch, lift_pixel_batch
     from neuralsim_tpu.tools.train_multi import build_everything_multi
 
-    root = "logs/bisect_demo_data"
-    if not os.path.isdir(os.path.join(root, "demo_drive")):
-        build_demo_sequence(root, n_frames=4, H=40, W=60, n_vehicles=2)
+    if ON_TPU:
+        root = "/root/repo/logs/waymo_demo_r3_data"
+        if not os.path.isdir(os.path.join(root, "demo_drive")):
+            build_demo_sequence(root, n_frames=8, H=80, W=120, n_vehicles=3)
+    else:
+        root = "logs/bisect_demo_data"
+        if not os.path.isdir(os.path.join(root, "demo_drive")):
+            build_demo_sequence(root, n_frames=4, H=40, W=60, n_vehicles=2)
 
     cfg = yaml.safe_load(open("configs/waymo_demo_multi.yaml"))
     cfg["dataset_cfg"]["params"]["root"] = root
-    cfg.update(exp_dir=f"logs/bisect_{VARIANT}", platform="cpu")
-    cfg["training"].update({"num_iters": ITERS, "n_rays": 512,
-                            "n_rays_lidar": 256, "i_log": 10 ** 9,
+    cfg.update(exp_dir=f"logs/bisect_{VARIANT}")
+    if not ON_TPU:
+        cfg["platform"] = "cpu"
+    n_rays = 4096 if ON_TPU else 512
+    cfg["training"].update({"num_iters": ITERS, "n_rays": n_rays,
+                            "n_rays_lidar": n_rays // 2, "i_log": 10 ** 9,
                             "i_val": 0})
     st = cfg["assetbank_cfg"]["Street"]["model_params"]
-    st["encoding_cfg"].update({"n_levels": 6, "max_res": 128,
-                               "cp_max_res": 128})
+    if not ON_TPU:
+        st["encoding_cfg"].update({"n_levels": 6, "max_res": 128,
+                                   "cp_max_res": 128})
     if VARIANT == "noaccel":
         st["accel_cfg"] = None
     if VARIANT == "nosparsity":
@@ -80,6 +94,48 @@ def main():
         cfg["training"]["losses"]["lidar"]["depth"] = {"fn_type": "l1",
                                                        "w": 0.05}
         cfg["training"]["losses"]["lidar"]["line_of_sight"]["w"] = 0.05
+    # --- composite recipes around the known-healthy r3 "noanneal" anchor ---
+    def _r3_base():
+        st.pop("inv_s_final", None)
+        st.pop("inv_s_anneal_start_it", None)
+        st.pop("inv_s_anneal_stop_it", None)
+        cfg["training"]["losses"].pop("clearance", None)
+        cfg["training"]["losses"]["sparsity"] = {"w": 0.002}
+        cfg["training"]["losses"]["lidar"]["line_of_sight"] = {
+            "fn_type": "neus_unisim", "w": 0.01}
+    if VARIANT == "r3recipe":
+        _r3_base()
+    if VARIANT == "r3anneal30":          # + delayed anneal to 30
+        _r3_base()
+        st["inv_s_final"] = 30.0
+        st["inv_s_anneal_start_it"] = ITERS // 5
+        st["inv_s_anneal_stop_it"] = ITERS
+    if VARIANT == "r3clear":             # + clearance
+        _r3_base()
+        cfg["training"]["losses"]["clearance"] = {"w": 0.1, "beta": 10.0,
+                                                  "thresh": 0.02}
+    if VARIANT == "r3sparseramp":        # + sparsity ramp
+        _r3_base()
+        cfg["training"]["losses"]["sparsity"] = {
+            "w": 0.002, "enable_after": ITERS // 10,
+            "anneal": {"type": "linear", "start_it": ITERS // 10,
+                       "start_val": 0.0, "stop_it": ITERS // 2,
+                       "stop_val": 1.0}}
+    if VARIANT == "unitfix":
+        # reference regularizer scales converted from sdf_scale=25 units to
+        # meters: sparsity inv_scale 16 -> 16/25=0.64 (a gentle 1.5 m shell,
+        # not a 6 cm surface laser); clearance beta 10 -> 0.4 /m,
+        # thresh 0.02*25 = 0.5 m
+        cfg["training"]["losses"]["sparsity"]["inv_scale"] = 0.64
+        cfg["training"]["losses"]["clearance"] = {"w": 0.1, "beta": 0.4,
+                                                  "thresh": 0.5}
+    if VARIANT == "r3los02":             # + LoS 0.02 with eps milestones
+        _r3_base()
+        cfg["training"]["losses"]["lidar"]["line_of_sight"] = {
+            "fn_type": "neus_unisim", "w": 0.02,
+            "epsilon": {"type": "milestones",
+                        "milestones": [ITERS // 3, 2 * ITERS // 3],
+                        "vals": [1.5, 0.75, 0.5]}}
 
     scene, bank, renderer, trainer, loader, dataset = \
         build_everything_multi(cfg)
@@ -104,7 +160,7 @@ def main():
         np.zeros(9, np.float32),
         np.tile(zs, 3)], -1))
 
-    probe_sampler = PixelSampler(loader, n_rays=512, seed=777)
+    probe_sampler = PixelSampler(loader, n_rays=n_rays, seed=777)
     probe_raw = probe_sampler.sample()
     probe_b = lift_pixel_batch(scene, probe_raw)
 
@@ -121,17 +177,21 @@ def main():
         street = r["rendered_per_obj_in_scene"].get("street")
         sv = float(np.asarray(street["mask_volume"]).mean()) \
             if street is not None else -1.0
+        dv = r["rendered_per_obj_in_scene"].get("distant")
+        dvv = float(np.asarray(dv["mask_volume"]).mean()) \
+            if dv is not None else -1.0
         inv_s = float(np.asarray(field.forward_inv_s(
             state.params[mid], it=int(state.it))))
         return dict(inv_s=round(inv_s, 1),
                     road_sdf=round(float(sdf.mean()), 4),
                     occ_frac=round(occf, 4),
                     street_vis=round(sv, 4),
+                    distant_vis=round(dvv, 4),
                     total_vis=round(float(np.asarray(
                         r["mask_volume"]).mean()), 4))
 
-    sampler = PixelSampler(loader, n_rays=512, seed=42)
-    lidar_sampler = LidarSampler(loader, n_rays=256) \
+    sampler = PixelSampler(loader, n_rays=n_rays, seed=42)
+    lidar_sampler = LidarSampler(loader, n_rays=n_rays // 2) \
         if cfg["training"].get("with_lidar") else None
 
     key = jax.random.PRNGKey(3)
