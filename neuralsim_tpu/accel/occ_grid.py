@@ -41,7 +41,7 @@ class OccGridEma:
                  ema_decay: float = 0.95, occ_val_fn: str = "sdf",
                  occ_inv_s: float = 256.0, n_steps_between_update: int = 16,
                  n_warmup_steps: int = 256, init_occupied: bool = True,
-                 march_steps: int = 64):
+                 march_steps: int = 64, samples_per_voxel: int = 1):
         self.space = space
         self.res = resolution
         self.occ_thre = occ_thre
@@ -54,6 +54,11 @@ class OccGridEma:
         # probe count of the fixed-step proposal march (the step_size /
         # max_steps knob): step = (far-near)/march_steps
         self.march_steps = march_steps
+        # jittered field samples per voxel per EMA update (max-reduced): a
+        # single sample misses a thin surface crossing a large voxel with
+        # high probability, so its EMA decays and the surface becomes
+        # unmarchable (reference updates sample num_steps x num_pts)
+        self.samples_per_voxel = max(int(samples_per_voxel), 1)
 
     # -- state ---------------------------------------------------------------
     def init_state(self) -> OccGridState:
@@ -80,11 +85,12 @@ class OccGridEma:
         Call under the trainer's cadence (`it % n_steps_between_update == 0`
         via lax.cond — reference updates every N steps with warmup)."""
         R = self.res
+        S = self.samples_per_voxel
         idx = jnp.stack(jnp.meshgrid(*([jnp.arange(R)] * 3), indexing="ij"), -1)
-        u = jax.random.uniform(key, idx.shape)
-        x01 = (idx + u) / R
+        u = jax.random.uniform(key, (S,) + idx.shape)
+        x01 = (idx[None] + u) / R
         x = self.space.unnormalize_coords(x01.reshape(-1, 3))
-        val = self._occ_val(query_fn, x).reshape(R, R, R)
+        val = self._occ_val(query_fn, x).reshape(S, R, R, R).max(axis=0)
         val = jax.lax.stop_gradient(val)
         new_val = jnp.maximum(state.val * self.ema_decay, val)
         # during warmup keep everything occupied so early training sees space

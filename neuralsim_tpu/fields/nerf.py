@@ -207,7 +207,9 @@ class NeRFDistantField:
         else:
             h = self.pe(c)
         out = self.decoder(params["decoder"], h)
-        return jnp.exp(jnp.clip(out[..., 0], -15.0, 15.0)), out[..., 1:]
+        # -1 bias: at init (raw~0) the per-sample optical depth integrates
+        # to ~0.4 over the whole shell ladder instead of starting opaque
+        return jnp.exp(jnp.clip(out[..., 0] - 1.0, -15.0, 15.0)), out[..., 1:]
 
     def ray_query(self, params: Params, rays_o: jnp.ndarray, rays_d: jnp.ndarray, *,
                   key: Optional[jax.Array] = None, it=None,
@@ -234,8 +236,18 @@ class NeRFDistantField:
 
         x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
         sigma, feat = self.query_density_feat(params, x)
-        dt = jnp.concatenate([t[..., 1:] - t[..., :-1], t[..., -1:]], axis=-1)
-        alpha = tau_to_alpha(sigma * dt)
+        # Integrate in the CONTRACTED inverse-depth coordinate s = near/t
+        # (NeRF++ background integration): metric dt explodes toward the far
+        # shells (t up to near*far_factor), so any nonzero density would make
+        # the background opaque from birth and swallow the scene (r4 street
+        # collapse). s is uniform in [1/far_factor, 1] by construction; the
+        # ladder does NOT close the integral at t=inf — the sky model owns
+        # the residual transmittance (reference include_inf_distance: false,
+        # withmask_withlidar_joint.240219.yaml:294).
+        s = near[:, None] * inv_t
+        ds = s[..., :-1] - s[..., 1:]
+        ds = jnp.concatenate([ds, ds[..., -1:]], axis=-1)
+        alpha = tau_to_alpha(sigma * ds)
         buf: Dict[str, Any] = {"t": t, "mask": mask, "alpha": alpha,
                                "nablas": jnp.zeros_like(x)}
         if with_rgb:

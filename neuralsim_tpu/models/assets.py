@@ -96,7 +96,9 @@ class LoTDNeuSObj(AssetModel):
                                     ema_decay=accel_cfg.get("ema_decay", 0.95),
                                     occ_inv_s=accel_cfg.get("inv_s", 256.0),
                                     n_steps_between_update=accel_cfg.get(
-                                        "n_steps_between_update", 16))
+                                        "n_steps_between_update", 16),
+                                    samples_per_voxel=accel_cfg.get(
+                                        "samples_per_voxel", 1))
 
 
 class MLPNeuSObj(LoTDNeuSObj):
@@ -155,7 +157,9 @@ class LoTDNeuSStreet(AssetModel):
                                     ema_decay=accel_cfg.get("ema_decay", 0.95),
                                     occ_inv_s=accel_cfg.get("inv_s", 256.0),
                                     n_steps_between_update=accel_cfg.get(
-                                        "n_steps_between_update", 16))
+                                        "n_steps_between_update", 16),
+                                    samples_per_voxel=accel_cfg.get(
+                                        "samples_per_voxel", 1))
 
     @staticmethod
     def _aabb_from_cameras(scene, mp) -> Any:

@@ -30,7 +30,8 @@ import yaml
 
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "base"
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 600
-PROBE_EVERY = 50 if not ON_TPU else 100
+PROBE_EVERY = int(__import__("os").environ.get(
+    "PROBE_EVERY", 50 if not ON_TPU else 100))
 
 
 def main():
@@ -121,6 +122,20 @@ def main():
             "anneal": {"type": "linear", "start_it": ITERS // 10,
                        "start_val": 0.0, "stop_it": ITERS // 2,
                        "stop_val": 1.0}}
+    if VARIANT in ("minimal", "minimal_eik", "minimal_lidar"):
+        # strip to the bare photometric+mask problem to find the killer
+        keep = {"rgb", "occupancy_mask", "latent"}
+        if VARIANT == "minimal_eik":
+            keep.add("eikonal")
+        if VARIANT == "minimal_lidar":
+            keep.add("lidar")
+        cfg["training"]["losses"] = {
+            k: v for k, v in cfg["training"]["losses"].items() if k in keep}
+        if VARIANT != "minimal_lidar":
+            cfg["training"]["with_lidar"] = False
+        st.pop("inv_s_final", None)
+        st.pop("inv_s_anneal_start_it", None)
+        st.pop("inv_s_anneal_stop_it", None)
     if VARIANT == "unitfix":
         # reference regularizer scales converted from sdf_scale=25 units to
         # meters: sparsity inv_scale 16 -> 16/25=0.64 (a gentle 1.5 m shell,
@@ -213,11 +228,16 @@ def main():
                 lbatch["rays_fidx"] = jnp.asarray(lb["rays_fidx"])
                 # advance_it=False: match the real driver's it-per-loop
                 # accounting (one advance per loop iteration)
-                state, _ = trainer.train_step(state, lbatch, sk, "lidar",
-                                              None, False)
+                state, ml = trainer.train_step(state, lbatch, sk, "lidar",
+                                               None, False)
+                m.update({f"lidar/{k}": v for k, v in ml.items()})
         if i % PROBE_EVERY == 0:
-            print(json.dumps({"variant": VARIANT, "it": i,
-                              "loss": round(float(m["loss_total"]), 4),
+            comps = {k: round(float(np.asarray(v)), 5)
+                     for k, v in m.items()
+                     if np.asarray(v).ndim == 0 and (k.startswith("loss")
+                                                     or "valid" in k
+                                                     or "lidar" in k)}
+            print(json.dumps({"variant": VARIANT, "it": i, **comps,
                               **probe(state)}), flush=True)
 
 
