@@ -147,6 +147,14 @@ class LoTDNeuSStreet(AssetModel):
             cos_anneal_stop_it=mp.get("cos_anneal_stop_it", 0),
             appear_embed_dim=mp.get("appear_embed_dim", 0),
             sdf_scale=mp.get("sdf_scale", 1.0),
+            # NO sphere-init bias for streets: the object-centric default
+            # (sdf += |x-c| - 0.5*mean(half)) puts a +10 m baseline at the
+            # road for a street cuboid; whenever the grid's learned
+            # cancellation drifts, the sphere resurfaces and empties the
+            # street (every r4 collapse plateaued at exactly this baseline).
+            # The road_surface pretrain provides the street init instead
+            # (reference pretrain_sdf_road_surface, neus.py:198-236).
+            radius_init=mp.get("radius_init", 0.0),
             remat=mp.get("remat", "auto"),
             eval_chunk=mp.get("eval_chunk", "auto"))
         self.query_cfg = dict(mp.get("query_cfg", {}))

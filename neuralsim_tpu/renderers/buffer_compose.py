@@ -123,10 +123,16 @@ class BufferComposeRenderer:
                   cond: Optional[jnp.ndarray] = None,
                   occ_states: Optional[Dict[str, Any]] = None,
                   return_buffer: bool = False,
+                  query_overrides: Optional[Dict[str, Any]] = None,
                   with_per_obj: bool = True) -> Dict[str, Any]:
         """frozen: FrozenScene at the batch's frame indices (built inside the
-        jitted caller so object poses stay differentiable)."""
+        jitted caller so object poses stay differentiable).
+
+        ``query_overrides`` merge into every field query — the reference's
+        ``bypass_ray_query_cfg`` (e.g. perturb=False for deterministic eval,
+        forward_inv_s for LiDAR sharpness, render.py:320)."""
         N = rays_o.shape[0]
+        _qo = dict(query_overrides or {})
         buffers: List[Dict[str, Any]] = []
         names: List[str] = []
         B = N if self.hit_budget_frac is None else \
@@ -164,14 +170,19 @@ class BufferComposeRenderer:
                 hit = hit & valid                           # [K, N]
                 qkw = dict(obs[0].query_cfg)
                 shared = obs[0].bidx is not None
-                pair_mode = (self.group_budget_frac is not None and shared
-                             and K > 1)
+                # "auto": exact per-instance path while K is small (the
+                # measured pair-budget quality cost is ~0.9 dB on 2-big-
+                # object scenes, PERF.md sweep), K-independent pair budget
+                # once the group is large enough that O(K*N) eval hurts
+                gf = self.group_budget_frac
+                if gf == "auto":
+                    gf = None if K <= 4 else 1.0
+                pair_mode = (gf is not None and shared and K > 1)
                 if pair_mode:
                     # ONE group-wide budget of (instance, ray) pairs: the
                     # j-th hit of every instance sorts with key j*K+k, so
                     # instances are served round-robin up to Bg total rows.
-                    Bg = max(min(K * N,
-                                 int(round(N * self.group_budget_frac))), 1)
+                    Bg = max(min(K * N, int(round(N * gf))), 1)
                     rank = jnp.cumsum(hit, axis=1) - 1      # per-instance hit#
                     keyv = jnp.where(hit, rank * K
                                      + jnp.arange(K, dtype=jnp.int32)[:, None],
@@ -221,7 +232,8 @@ class BufferComposeRenderer:
                                                    bx, key=k))
                 buf_all = obs[0].field.ray_query(params[model_id], o_all,
                                                  d_all, key=kb, it=it,
-                                                 with_rgb=with_rgb, **qkw)
+                                                 with_rgb=with_rgb,
+                                                 **{**qkw, **_qo})
 
                 # world-t conversion, hit masking, nablas rotation, and
                 # scatter-back, batched over the compacted rows
@@ -339,7 +351,7 @@ class BufferComposeRenderer:
                                 accel.ray_proposal(st, ro, rd, n_, f_, nc,
                                                    key=k))
             buf = field.ray_query(params[mid], rays_o, rays_d, key=kb, it=it,
-                                  with_rgb=with_rgb, **qcfg)
+                                  with_rgb=with_rgb, **{**qcfg, **_qo})
             cr_far = buf["details"]["far"]
             cr_hit = buf["details"]["hit"]
             buffers.append(buf)
@@ -353,9 +365,10 @@ class BufferComposeRenderer:
                 dv_near = jnp.where(cr_hit, jnp.maximum(cr_far, 1e-3), 1.0)
             else:
                 dv_near = jnp.full(rays_o.shape[:-1], 1.0)
+            dv_qo = {k: v for k, v in _qo.items() if k != "forward_inv_s"}
             buf = field.ray_query(params[mid], rays_o, rays_d, key=kb, it=it,
                                   near=dv_near, with_rgb=with_rgb,
-                                  h_appear=h_appear, **qcfg)
+                                  h_appear=h_appear, **{**qcfg, **dv_qo})
             buffers.append(buf)
             names.append("distant")
 

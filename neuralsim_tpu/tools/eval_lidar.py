@@ -22,6 +22,8 @@ def eval_lidar_frames(scene, renderer, params, loader, *, frames,
     rows = []
     for fi in frames:
         fr = scene.slice_at(fi)
+        if hasattr(renderer, "set_frame"):   # multi-object compose adapter
+            renderer.set_frame(fi)
         for lid in loader.lidar_ids:
             ld = loader.lidars.get((lid, fi))
             if ld is None:
@@ -72,7 +74,31 @@ def main_function(cfg):
     from ..utils.checkpoint import CheckpointIO
 
     cfg.setdefault("training", {})["with_lidar"] = True
-    _, scene, bank, renderer, trainer, loader = build_everything(cfg)
+    if cfg.get("renderer", {}).get("type") == "multi":
+        # multi-object scene: LiDAR depth along GT beams through the compose
+        # renderer frozen at each frame (reference code_multi eval_lidar use)
+        from .train_multi import build_everything_multi
+        scene, bank, mrenderer, trainer, loader, _ = \
+            build_everything_multi(cfg)
+
+        class _Adapter:
+            def __init__(self):
+                self._fi = 0
+
+            def set_frame(self, fi):
+                self._fi = fi
+
+            def ray_query(self, params, ro, rd, **kw):
+                frozen = scene.slice_at(self._fi)
+                kw2 = {k: v for k, v in kw.items()
+                       if k in ("with_rgb", "only_cr", "query_overrides",
+                                "key")}
+                return mrenderer.ray_query(params, frozen, ro, rd, **kw2)
+
+        renderer = _Adapter()
+        _build = "multi"
+    else:
+        _, scene, bank, renderer, trainer, loader = build_everything(cfg)
     key = jax.random.PRNGKey(cfg.get("seed", 42))
     params = bank.init_params(key)
     exp_dir = cfg.get("resume_dir") or cfg.get("exp_dir", ".")

@@ -232,6 +232,27 @@ class MultiObjectTrainer:
                     total_sparse = total_sparse + sparsity_loss(
                         sdf_u, it, self.loss_cfgs["sparsity"])
             if "eikonal" in self.loss_cfgs:
+                # on-render eikonal: regularize the SDF at the RENDER samples
+                # too (reference on_render_type, eikonal.py:31-70; the single
+                # trainer defaults to ratio 1.0). Uniform box samples almost
+                # never land near a street-scale surface, so without this the
+                # SDF renders correctly but is non-metric — and the inv_s
+                # anneal + occ grid (both metric) then destroy it (r4
+                # streetsky bisect: road probe +9 while lidar depth fits).
+                ecfg = self.loss_cfgs["eikonal"]
+                if buf is not None and "nablas" in buf \
+                        and ecfg.get("on_render_ratio", 1.0) > 0:
+                    emask = buf["mask"]
+                    if "src" in buf and "src_names" in rendered:
+                        neus_src = jnp.asarray(
+                            [1.0 if (nm == "street" or not nm.startswith(
+                                ("distant", "sky")))
+                             else 0.0
+                             for nm in rendered["src_names"]])
+                        emask = emask & (neus_src[buf["src"]] > 0)
+                    total_eik = total_eik + ecfg.get("on_render_ratio", 1.0) \
+                        * eikonal_loss(buf["nablas"], it, ecfg,
+                                       mask=emask.astype(jnp.float32))
                 losses["loss_eikonal"] = total_eik
             if "sparsity" in self.loss_cfgs:
                 losses["loss_sparsity"] = total_sparse

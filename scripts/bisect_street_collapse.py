@@ -66,6 +66,14 @@ def main():
                                    "cp_max_res": 128})
     if VARIANT == "noaccel":
         st["accel_cfg"] = None
+    if VARIANT in ("streetonly", "streetsky"):
+        # compose path with ONLY the street (+sky) — isolates the compose
+        # street query/merge from vehicles and distant
+        cfg["assetbank_cfg"].pop("Vehicle", None)
+        cfg["assetbank_cfg"].pop("Distant", None)
+        if VARIANT == "streetonly":
+            cfg["assetbank_cfg"].pop("Sky", None)
+        cfg["training"]["losses"].pop("latent", None)
     if VARIANT == "nosparsity":
         cfg["training"]["losses"].pop("sparsity", None)
     if VARIANT == "nodistant":
@@ -179,8 +187,14 @@ def main():
     probe_raw = probe_sampler.sample()
     probe_b = lift_pixel_batch(scene, probe_raw)
 
+    zprof_pts = jnp.asarray(np.stack([
+        np.full(8, 10.0, np.float32), np.zeros(8, np.float32),
+        np.array([-0.4, -0.2, 0.0, 0.3, 1.0, 2.0, 4.0, 6.0], np.float32)],
+        -1))
+
     def probe(state):
         sdf = np.asarray(field.query_sdf(state.params[mid], road_pts))
+        zprof = np.asarray(field.query_sdf(state.params[mid], zprof_pts))
         occ = state.occ.get("cr") if state.occ else None
         occf = float(np.asarray(occ.mask).mean()) if occ is not None else -1.0
         r = renderer.ray_query(state.params,
@@ -199,6 +213,7 @@ def main():
             state.params[mid], it=int(state.it))))
         return dict(inv_s=round(inv_s, 1),
                     road_sdf=round(float(sdf.mean()), 4),
+                    zprof=[round(float(v), 2) for v in zprof],
                     occ_frac=round(occf, 4),
                     street_vis=round(sv, 4),
                     distant_vis=round(dvv, 4),
