@@ -14,7 +14,11 @@ import numpy as np
 
 
 def eval_lidar_frames(scene, renderer, params, loader, *, frames,
-                      forward_inv_s: float = 6400.0) -> Dict:
+                      forward_inv_s: float = 256.0) -> Dict:
+    # forward_inv_s is in WORLD (meter) SDF units: the reference's
+    # lidar_forward_inv_s=6400 rides sdf_scale=25, i.e. 256 m^-1 (a ~4 mm
+    # alpha band, matched to the upsample ladder's sample concentration);
+    # 6400 m^-1 leaves a band no sample can land in (hit_frac ~0.04).
     import jax.numpy as jnp
     from ..maths.common import chamfer_distance
     from ..scene.observers import lidar_rays_to_world
@@ -114,7 +118,7 @@ def main_function(cfg):
         frames = [int(x) for x in frames.split(",")]
     frames = frames or list(range(0, scene.n_frames, max(scene.n_frames // 8, 1)))
     out = eval_lidar_frames(scene, renderer, params, loader, frames=frames,
-                            forward_inv_s=float(ecfg.get("forward_inv_s", 6400.0)))
+                            forward_inv_s=float(ecfg.get("forward_inv_s", 256.0)))
     os.makedirs(os.path.join(exp_dir, "eval"), exist_ok=True)
     with open(os.path.join(exp_dir, "eval", "lidar_metrics.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -410,7 +410,8 @@ def main_function(cfg) -> Dict:
         # dataset beams re-rendered, or a synthetic model mounted on a node.
         lidar_model = rcfg.get("lidar_model", "original")
         fis = frames or list(range(scene.n_frames))
-        inv_s = rcfg.get("lidar_forward_inv_s", 6400.0)
+        # world-unit default (reference 6400 per 25 m = 256 m^-1)
+        inv_s = rcfg.get("lidar_forward_inv_s", 256.0)
         all_pts = []
         for fi in fis:
             fr = scene.slice_at(fi)

@@ -1,10 +1,12 @@
 """Train/eval/render the Waymo-format multi-object demo sequence on the TPU
-(BASELINE target #5 / VERDICT r3 item 2): the full code_multi toolchain at
-real scale — WaymoDataset reader -> train_multi (pixel + lidar) ->
-eval_multi (full/fg/bg + per-object/per-class decomposition) -> render
-replay. Results land in logs/waymo_demo_r3/ and print as JSON.
+(BASELINE target #5): the full code_multi toolchain at real scale —
+WaymoDataset reader -> train_multi (pixel + lidar) -> eval_multi (full/fg/bg
++ per-object/per-class decomposition) -> eval_lidar (chamfer + depth RMSE
+against the analytic beams, the geometry guardrail) -> render replay +
+orthographic top-down map. Results land in logs/waymo_demo_r4/ and print as
+JSON.
 
-Usage: python scripts/run_waymo_demo_r3.py [iters]
+Usage: python scripts/run_waymo_demo.py [iters]
 """
 from __future__ import annotations
 
@@ -18,12 +20,13 @@ import yaml
 sys.path.insert(0, "/root/repo")
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-EXP = "/root/repo/logs/waymo_demo_r3"
+EXP = "/root/repo/logs/waymo_demo_r4"
 ROOT = "/root/repo/logs/waymo_demo_r3_data"
 
 
 def main():
     from neuralsim_tpu.dataio.waymo_demo import build_demo_sequence
+    from neuralsim_tpu.tools.eval_lidar import main_function as eval_lidar_main
     from neuralsim_tpu.tools.eval_multi import main_function as eval_main
     from neuralsim_tpu.tools.render import main_function as render_main
     from neuralsim_tpu.tools.train_multi import main_function as train_main
@@ -54,15 +57,29 @@ def main():
                       for c, d in out.get("per_class", {}).items()},
     }), flush=True)
 
+    # LiDAR geometry guardrail (VERDICT r4: this would have caught the r3
+    # street collapse immediately — road depth along the analytic GT beams)
+    lcfg = dict(cfg, resume_dir=EXP,
+                renderer={**cfg["renderer"], "type": "multi"},
+                eval={"frames": [0, 3, 6]})
+    lout = eval_lidar_main(lcfg)
+    print(json.dumps({"eval_lidar_mean": {
+        k: round(v, 4) for k, v in lout["mean"].items()}}), flush=True)
+
     rcfg = dict(cfg, resume_dir=EXP,
                 renderer={**cfg["renderer"], "type": "multi"},
                 render={"mode": "replay", "frames": [0, 4],
                         "video": False, "per_obj": True})
     render_main(rcfg)
+    tcfg = dict(cfg, resume_dir=EXP,
+                renderer={**cfg["renderer"], "type": "multi"},
+                render={"mode": "topdown", "topdown_w": 256, "video": True,
+                        "fps": 6})
+    render_main(tcfg)
     print("WAYMO DEMO RUN DONE ->", EXP, flush=True)
 
 
 if __name__ == "__main__":
     from neuralsim_tpu.utils.tpu_lock import tpu_chip_lock
-    with tpu_chip_lock("scripts/run_waymo_demo_r3.py"):
+    with tpu_chip_lock("scripts/run_waymo_demo.py"):
         main()

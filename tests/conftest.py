@@ -35,3 +35,8 @@ def _clear_jax_caches_between_modules():
     """
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running training-probe regression tests")
