@@ -376,6 +376,11 @@ class NeuSField:
         if override is not None:
             return jnp.asarray(override, jnp.float32)
         inv_s = jnp.exp(params["ln_inv_s"])
+        if self.inv_s_final is not None and it is None \
+                and self.inv_s_anneal_stop_it > 0:
+            # eval mode (no iteration counter): the anneal is complete —
+            # render at the final sharpness, not the raw learned value
+            return jnp.asarray(self.inv_s_final, jnp.float32)
         if self.inv_s_final is not None and it is not None and self.inv_s_anneal_stop_it > 0:
             # reference var_ctrl mix_linear semantics (streetsurf config
             # :149-156): the mix only BEGINS at start_it (e.g. 20% of

@@ -18,7 +18,7 @@ import numpy as np
 
 def evaluate(scene, renderer, params, loader, *, cam_id: str,
              frames: List[int], downscale: int = 1, rayschunk: int = 4096,
-             lpips_weights: str = None) -> Dict[str, Any]:
+             lpips_weights: str = None, occ=None) -> Dict[str, Any]:
     import jax.numpy as jnp
     from ..dataio.dataloader import ImageSampler
     from ..maths.metrics import lpips_np, psnr_np, ssim_np
@@ -31,6 +31,7 @@ def evaluate(scene, renderer, params, loader, *, cam_id: str,
         fr = scene.slice_at(fi)
         ro, rd = camera_get_selected_rays(fr, cam_id, jnp.asarray(frame["rays_xy"]))
         rendered = renderer.render_chunked(params, ro, rd, rayschunk=rayschunk,
+                                           occ_states=occ,
                                            query_overrides={"perturb": False})
         H, W = frame["hw"]
         pred = np.asarray(rendered["rgb_volume"]).reshape(H, W, 3)
@@ -73,8 +74,10 @@ def main_function(cfg) -> Dict[str, Any]:
     ckpt = CheckpointIO(os.path.join(exp_dir, "ckpts"))
     state = trainer.init_state(key, params=params)
     restored = ckpt.load(state, cfg.get("ckpt"))
+    occ = None
     if restored is not None:
         params = restored[0] if isinstance(restored, (tuple, list)) else restored.params
+        occ = getattr(restored, "occ", None)
 
     ecfg = cfg.get("eval", {})
     frames = ecfg.get("frames")
@@ -87,7 +90,7 @@ def main_function(cfg) -> Dict[str, Any]:
     out = evaluate(scene, renderer, params, loader,
                    cam_id=loader.cam_ids[0], frames=frames,
                    downscale=int(ecfg.get("downscale", 1)),
-                   lpips_weights=ecfg.get("lpips_weights"))
+                   lpips_weights=ecfg.get("lpips_weights"), occ=occ)
     os.makedirs(os.path.join(exp_dir, "eval"), exist_ok=True)
     with open(os.path.join(exp_dir, "eval", "metrics.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -14,11 +14,12 @@ import numpy as np
 
 
 def eval_lidar_frames(scene, renderer, params, loader, *, frames,
-                      forward_inv_s: float = 256.0) -> Dict:
-    # forward_inv_s is in WORLD (meter) SDF units: the reference's
-    # lidar_forward_inv_s=6400 rides sdf_scale=25, i.e. 256 m^-1 (a ~4 mm
-    # alpha band, matched to the upsample ladder's sample concentration);
-    # 6400 m^-1 leaves a band no sample can land in (hit_frac ~0.04).
+                      forward_inv_s=None, occ=None) -> Dict:
+    # forward_inv_s (WORLD meter units; reference lidar_forward_inv_s=6400
+    # rides sdf_scale=25 = 256 m^-1) optionally sharpens alpha beyond the
+    # model's final annealed inv_s. Default None: evaluate at the model's
+    # native post-anneal sharpness — overriding far beyond what the
+    # geometry supports makes every beam transparent (hit_frac ~0.04).
     import jax.numpy as jnp
     from ..maths.common import chamfer_distance
     from ..scene.observers import lidar_rays_to_world
@@ -35,10 +36,12 @@ def eval_lidar_frames(scene, renderer, params, loader, *, frames,
             valid_gt = ld["ranges"] > 0
             ro, rd = lidar_rays_to_world(fr, lid, jnp.asarray(ld["rays_o"]),
                                          jnp.asarray(ld["rays_d"]))
+            qo = {"perturb": False}
+            if forward_inv_s:
+                qo["forward_inv_s"] = forward_inv_s
             r = renderer.ray_query(params, ro, rd, key=None, with_rgb=False,
-                                   only_cr=True,
-                                   query_overrides={"perturb": False,
-                                                    "forward_inv_s": forward_inv_s})
+                                   only_cr=True, occ_states=occ,
+                                   query_overrides=qo)
             depth = np.asarray(r["depth_volume"])
             hit = (np.asarray(r["mask_volume"]) > 0.5) & valid_gt
             if hit.sum() < 10:
@@ -96,7 +99,7 @@ def main_function(cfg):
                 frozen = scene.slice_at(self._fi)
                 kw2 = {k: v for k, v in kw.items()
                        if k in ("with_rgb", "only_cr", "query_overrides",
-                                "key")}
+                                "key", "occ_states")}
                 return mrenderer.ray_query(params, frozen, ro, rd, **kw2)
 
         renderer = _Adapter()
@@ -109,16 +112,19 @@ def main_function(cfg):
     ckpt = CheckpointIO(os.path.join(exp_dir, "ckpts"))
     state = trainer.init_state(key, params=params)
     restored = ckpt.load(state, cfg.get("ckpt"))
+    occ = None
     if restored is not None:
         params = restored[0] if isinstance(restored, (tuple, list)) else restored.params
+        occ = getattr(restored, "occ", None)
 
     ecfg = cfg.get("eval", {})
     frames = ecfg.get("frames")
     if isinstance(frames, str):
         frames = [int(x) for x in frames.split(",")]
     frames = frames or list(range(0, scene.n_frames, max(scene.n_frames // 8, 1)))
-    out = eval_lidar_frames(scene, renderer, params, loader, frames=frames,
-                            forward_inv_s=float(ecfg.get("forward_inv_s", 256.0)))
+    fis = ecfg.get("forward_inv_s")
+    out = eval_lidar_frames(scene, renderer, params, loader, frames=frames, occ=occ,
+                            forward_inv_s=float(fis) if fis else None)
     os.makedirs(os.path.join(exp_dir, "eval"), exist_ok=True)
     with open(os.path.join(exp_dir, "eval", "lidar_metrics.json"), "w") as f:
         json.dump(out, f, indent=2)

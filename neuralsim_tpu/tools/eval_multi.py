@@ -31,7 +31,7 @@ def _bce(pred: np.ndarray, gt: np.ndarray, eps: float = 1e-6) -> float:
 def evaluate_multi(scene, renderer, params, loader, *, cam_id: str,
                    frames: List[int], downscale: int = 1,
                    rayschunk: int = 4096, lpips_weights: Optional[str] = None,
-                   out_dir: Optional[str] = None) -> Dict[str, Any]:
+                   out_dir: Optional[str] = None, occ=None) -> Dict[str, Any]:
     """Render each frame with the compose renderer (per-object decomposition
     on), score full/fg/bg appearance + per-object/per-class contributions."""
     import jax.numpy as jnp
@@ -55,7 +55,9 @@ def evaluate_multi(scene, renderer, params, loader, *, cam_id: str,
         if scene.n_frames > 1:
             cond = jnp.full((1, 1), fi / (scene.n_frames - 1), jnp.float32)
         r = renderer.render_chunked(params, frozen, ro, rd,
-                                    rayschunk=rayschunk, cond=cond)
+                                    rayschunk=rayschunk, cond=cond,
+                                    occ_states=occ,
+                                    query_overrides={"perturb": False})
         H, W = frame["hw"]
         pred = np.asarray(r["rgb_volume"]).reshape(H, W, 3)
         gt = np.asarray(frame["image_rgb"]).reshape(H, W, 3)
@@ -147,9 +149,11 @@ def main_function(cfg) -> Dict[str, Any]:
     ckpt = CheckpointIO(os.path.join(exp_dir, "ckpts"))
     state = trainer.init_state(key, params=params)
     restored = ckpt.load(state, cfg.get("ckpt"))
+    occ = None
     if restored is not None:
         params = restored[0] if isinstance(restored, (tuple, list)) \
             else restored.params
+        occ = getattr(restored, "occ", None)
 
     ecfg = cfg.get("eval", {})
     frames = ecfg.get("frames")
@@ -161,7 +165,7 @@ def main_function(cfg) -> Dict[str, Any]:
         frames = list(range(0, scene.n_frames, max(scene.n_frames // 8, 1)))
     out_dir = os.path.join(exp_dir, "eval_multi")
     os.makedirs(out_dir, exist_ok=True)
-    out = evaluate_multi(scene, renderer, params, loader,
+    out = evaluate_multi(scene, renderer, params, loader, occ=occ,
                          cam_id=ecfg.get("cam_id", loader.cam_ids[0]),
                          frames=frames,
                          downscale=int(ecfg.get("downscale", 1)),

@@ -183,13 +183,19 @@ def main_function(cfg) -> Dict:
 
             def render_chunked(self, params, ro, rd, rayschunk=4096, **kw):
                 frozen = scene.slice_at(self._fi)
-                kw.pop("occ_states", None)
-                return self.r.ray_query(params, frozen, ro, rd, key=None)
+                kw2 = {k: v for k, v in kw.items()
+                       if k in ("occ_states", "query_overrides", "cond")}
+                if kw2.get("cond") is None:
+                    kw2.pop("cond", None)
+                return self.r.render_chunked(params, frozen, ro, rd,
+                                             rayschunk=rayschunk, key=None,
+                                             **kw2)
 
             def ray_query(self, params, ro, rd, **kw):
                 frozen = scene.slice_at(self._fi)
                 kw2 = {k: v for k, v in kw.items()
-                       if k in ("with_rgb", "only_cr", "return_buffer")}
+                       if k in ("with_rgb", "only_cr", "return_buffer",
+                                "occ_states", "query_overrides")}
                 return self.r.ray_query(params, frozen, ro, rd, key=None, **kw2)
 
         renderer = _MultiAdapter(mrenderer)
@@ -210,8 +216,10 @@ def main_function(cfg) -> Dict:
     ckpt = CheckpointIO(os.path.join(exp_dir, "ckpts"))
     state = trainer.init_state(key, params=params)
     restored = ckpt.load(state, cfg.get("ckpt"))
+    occ = None
     if restored is not None:
         params = restored[0] if isinstance(restored, (tuple, list)) else restored.params
+        occ = getattr(restored, "occ", None)
 
     rcfg = cfg.get("render", {})
     mode = rcfg.get("mode", "replay")          # replay | nvs | lidar
@@ -240,7 +248,7 @@ def main_function(cfg) -> Dict:
             cond = jnp.full((1, 1), fi / (scene.n_frames - 1), jnp.float32)
         r = renderer.render_chunked(params, ro, rd,
                                     rayschunk=int(rcfg.get("rayschunk", 4096)),
-                                    cond=cond,
+                                    cond=cond, occ_states=occ,
                                     query_overrides={"perturb": False})
         return r
 
@@ -430,7 +438,7 @@ def main_function(cfg) -> Dict:
                 mount = rcfg.get("mount_node", cam_id)
                 ro, rd = lidar_rays_to_world(fr, mount, o, d)
             r = renderer.ray_query(params, ro, rd, key=None, with_rgb=False,
-                                   only_cr=True,
+                                   only_cr=True, occ_states=occ,
                                    query_overrides={"perturb": False,
                                                     "forward_inv_s": inv_s})
             depth = np.asarray(r["depth_volume"])
