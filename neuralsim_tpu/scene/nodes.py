@@ -103,13 +103,15 @@ class SceneNode:
         fi = jnp.asarray(fi)
         return {k: v[fi] for k, v in self.frame_data.items()}
 
-    def interp_at(self, ts) -> Dict[str, Any]:
+    def interp_at(self, ts, default_table=None) -> Dict[str, Any]:
         """Continuous-timestamp interpolation (reference ``_interp_at``,
         nodes.py:493): position lerp + rotation slerp between bracketing
-        keyframes on this node's own timestamp table."""
+        keyframes on this node's own timestamp table (``default_table``:
+        the scene clock, for nodes whose scenario carries no global_ts)."""
         table = self.frame_data.get("global_ts")
         if table is None:
-            table = jnp.arange(self.n_frames, dtype=jnp.float32)
+            table = (default_table if default_table is not None
+                     else jnp.arange(self.n_frames, dtype=jnp.float32))
         ts = jnp.asarray(ts, jnp.float32)
         hi = jnp.clip(jnp.searchsorted(table, ts, side="right"), 1, self.n_frames - 1)
         lo = hi - 1

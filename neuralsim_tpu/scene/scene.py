@@ -184,18 +184,33 @@ class Scene:
                 d["intr"], pd["dintr"][fi_arr])
         return d
 
+    def _default_ts_table(self) -> jnp.ndarray:
+        """Scene-level timestamp table for nodes without their own
+        ``global_ts`` (e.g. annotated objects whose scenarios only carry
+        per-frame transforms): borrow the first observer's table so a
+        continuous SECONDS timestamp interpolates every node on the same
+        clock. Falling back to frame INDICES per node silently froze moving
+        objects near their first pose whenever sensors carried real
+        second-unit timestamps (r4 ts-interp A/B: vehicles 22 dB)."""
+        for n in self.nodes_topo:
+            t = n.frame_data.get("global_ts")
+            if t is not None:
+                return jnp.asarray(t, jnp.float32)
+        return jnp.arange(self.n_frames, dtype=jnp.float32)
+
     def interp_at(self, ts, pose_deltas=None) -> FrozenScene:
         """Freeze at continuous timestamp(s) (reference scenes.py:200;
         timestamp mode ``use_ts_interp``, scenes.py:53-83). ``pose_deltas``
         entries are gathered at each node's nearest-below keyframe
         (piecewise-constant over the frame grid)."""
         data = []
+        default_table = self._default_ts_table()
         for n in self.nodes_topo:
-            d = n.interp_at(ts)
+            d = n.interp_at(ts, default_table=default_table)
             if pose_deltas and n.id in pose_deltas:
                 table = n.frame_data.get("global_ts")
                 if table is None:
-                    table = jnp.arange(n.n_frames, dtype=jnp.float32)
+                    table = default_table
                 lo = jnp.clip(
                     jnp.searchsorted(table, jnp.asarray(ts, jnp.float32),
                                      side="right") - 1, 0, n.n_frames - 1)

@@ -144,11 +144,17 @@ def main():
     n_rays = 8192
 
     def eval_psnr():
+        # chunked: one 16384-ray query with the analytic-jacobian nablas
+        # path OOMs the chip next to the training state (r4 queue log)
         eb = sample_pixels(stacked, np.random.default_rng(999), 16384)
-        r = renderer.ray_query(state.params, eb["rays_o"], eb["rays_d"],
-                               key=None, occ_states=state.occ,
-                               query_overrides={"perturb": False})
-        return float(psnr(r["rgb_volume"], eb["image_rgb"]))
+        preds = []
+        for s in range(0, 16384, 4096):
+            r = renderer.ray_query(state.params, eb["rays_o"][s:s + 4096],
+                                   eb["rays_d"][s:s + 4096],
+                                   key=None, occ_states=state.occ,
+                                   query_overrides={"perturb": False})
+            preds.append(r["rgb_volume"])
+        return float(psnr(jnp.concatenate(preds, 0), eb["image_rgb"]))
 
     # record intermediate PSNR so a timed-out job still yields data
     # (VERDICT r3 weak #4)
