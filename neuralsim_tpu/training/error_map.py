@@ -29,7 +29,13 @@ class ErrorMap:
 
     def step_error_map(self, fidx: np.ndarray, xy01: np.ndarray,
                        err: np.ndarray) -> None:
-        """Splat per-ray errors (xy01 in [0,1]^2) into the grid with EMA."""
+        """Splat per-ray errors (xy01 in [0,1]^2) into the grid with EMA.
+
+        Errors are sanitized: ONE transient NaN ray would otherwise poison
+        its cell forever and eventually crash the CDF sampler
+        ("Probabilities contain NaN" — r4 6000-iter demo)."""
+        err = np.nan_to_num(np.asarray(err, np.float64), nan=0.0,
+                            posinf=0.0, neginf=0.0)
         xs = np.clip((xy01[:, 0] * self.w).astype(int), 0, self.w - 1)
         ys = np.clip((xy01[:, 1] * self.h).astype(int), 0, self.h - 1)
         flat = self.map.reshape(self.n_frames, -1)
@@ -37,7 +43,7 @@ class ErrorMap:
         # mean error per touched cell, EMA-merged
         acc = np.zeros_like(flat)
         cnt = np.zeros_like(flat)
-        np.add.at(acc, (fidx, cell), np.asarray(err, np.float64))
+        np.add.at(acc, (fidx, cell), err)
         np.add.at(cnt, (fidx, cell), 1.0)
         touched = cnt > 0
         flat[touched] = self.ema * flat[touched] + \
@@ -48,8 +54,9 @@ class ErrorMap:
                      ) -> Tuple[np.ndarray, np.ndarray]:
         """Draw (frame, cell) jointly from the error distribution; returns
         (fidx [n], xy01 [n, 2]) with uniform jitter inside cells."""
-        p = self.map.reshape(-1)
-        p = p / p.sum()
+        p = np.nan_to_num(self.map.reshape(-1), nan=0.0, posinf=0.0)
+        s = p.sum()
+        p = p / s if s > 0 else np.full_like(p, 1.0 / p.size)
         idx = rng.choice(p.size, size=n, p=p)
         fidx = idx // (self.h * self.w)
         cell = idx % (self.h * self.w)
@@ -59,8 +66,9 @@ class ErrorMap:
         return fidx.astype(np.int32), xy01
 
     def sample_pixels_in_frame(self, rng, fi: int, n: int) -> np.ndarray:
-        p = self.map[fi].reshape(-1)
-        p = p / p.sum()
+        p = np.nan_to_num(self.map[fi].reshape(-1), nan=0.0, posinf=0.0)
+        s = p.sum()
+        p = p / s if s > 0 else np.full_like(p, 1.0 / p.size)
         cell = rng.choice(p.size, size=n, p=p)
         ys, xs = cell // self.w, cell % self.w
         u = rng.random((n, 2))

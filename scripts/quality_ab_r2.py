@@ -63,7 +63,7 @@ def main():
         distant_query_cfg={"num_samples": 32})
     accel = OccGridEma(space, resolution=128, n_warmup_steps=100,
                        occ_inv_s=64.0, march_steps=march,
-                       n_steps_between_update=16)
+                       n_steps_between_update=16, samples_per_voxel=4)
     renderer.accels = {"cr": accel}
     trainer = Trainer(
         renderer,
