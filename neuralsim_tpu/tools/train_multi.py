@@ -253,6 +253,11 @@ def main_function(cfg) -> Dict[str, Any]:
             rate = (it + 1) * tcfg.get("n_rays", 2048) / (time.time() - t0)
             print(f"it={it} loss={mm.get('loss_total', float('nan')):.4f} "
                   f"rays/s={rate:.0f}", flush=True)
+            bad = {k: v for k, v in mm.items() if v != v or abs(v) == float("inf")}
+            if bad:
+                # NaN forensics (reference debug_ret sweeps, train.py:338-363)
+                print(f"[check_finite] it={it} non-finite metrics: "
+                      f"{sorted(bad)}", flush=True)
         ckpt.maybe_save(state, it)
 
     ckpt.save(state, num_iters, tag="final")
