@@ -138,15 +138,21 @@ def main():
     key = jax.random.PRNGKey(1)
 
     # warmup / compile (one transient remote-compile retry: the relay
-    # occasionally drops the response body mid-read)
+    # occasionally drops the response body mid-read). train_step donates the
+    # state (donate_argnums=(1,)), so keep an undonated host copy — retrying
+    # with the original buffers after a partial dispatch would fail with
+    # 'array has been deleted' (ADVICE r4).
+    state_backup = jax.tree.map(np.asarray, jax.device_get(state))
     try:
         state, m = trainer.train_step(state, dict(batch), key, "pixel")
         jax.block_until_ready(m["loss_total"])
     except Exception as e:
         print(f"# warmup retry after: {type(e).__name__}")
         time.sleep(10)
+        state = jax.tree.map(jnp.asarray, state_backup)
         state, m = trainer.train_step(state, dict(batch), key, "pixel")
         jax.block_until_ready(m["loss_total"])
+    del state_backup
 
     iters = 30
     t0 = time.perf_counter()

@@ -66,15 +66,34 @@ class OccGridEma:
         return OccGridState(val=v, mask=v > self.occ_thre)
 
     # -- occupancy value from the field --------------------------------------
-    def _occ_val(self, query_fn: Callable, x: jnp.ndarray) -> jnp.ndarray:
-        out = query_fn(x)
+    @property
+    def voxel_half_diag(self) -> jnp.ndarray:
+        """Half the world-space diagonal of one voxel."""
+        return jnp.linalg.norm(
+            (self.space.aabb_max - self.space.aabb_min) / (2.0 * self.res))
+
+    def _occ_from_raw(self, out: jnp.ndarray) -> jnp.ndarray:
         if self.occ_val_fn == "sdf":
-            # SDF -> peaked density proxy (reference occ_val_fn_cfg type: sdf)
-            return normalized_logistic_density(out, self.occ_inv_s)
+            # SDF -> peaked density proxy (reference occ_val_fn_cfg type:
+            # sdf). Conservative voxel-radius erosion: a sampled point
+            # within half a voxel diagonal of the zero level set registers
+            # the PEAK value. Without this, a sharp occ_inv_s (band width
+            # 1/inv_s << voxel size) means random samples in a genuinely
+            # surface-crossing voxel almost never land inside the band, the
+            # EMA decays below occ_thre, and the grid EVAPORATES mid-train
+            # (VERDICT r4 item 6: the mixed-hash object run ended
+            # occ_frac=0.0, silently uniform-marching). The SDF is metric
+            # (eikonal-regularized), so the erosion is sound: it marks
+            # exactly the voxels that can contain the surface.
+            sd = jnp.maximum(jnp.abs(out) - self.voxel_half_diag, 0.0)
+            return normalized_logistic_density(sd, self.occ_inv_s)
         if self.occ_val_fn == "density":
             dt = (self.space.aabb_max - self.space.aabb_min).max() / self.res
             return 1.0 - jnp.exp(-out * dt)
         raise ValueError(self.occ_val_fn)
+
+    def _occ_val(self, query_fn: Callable, x: jnp.ndarray) -> jnp.ndarray:
+        return self._occ_from_raw(query_fn(x))
 
     # -- EMA update -----------------------------------------------------------
     def update(self, state: OccGridState, query_fn: Callable, key, it
@@ -208,12 +227,8 @@ class OccGridEmaBatched(OccGridEma):
         x = self.space.unnormalize_coords(x01.reshape(B, -1, 3))
         bidx = jnp.broadcast_to(jnp.arange(B)[:, None], x.shape[:2])
         out = query_fn(x.reshape(-1, 3), bidx.reshape(-1))
-        if self.occ_val_fn == "sdf":
-            val = normalized_logistic_density(out, self.occ_inv_s)
-        else:
-            dt = (self.space.aabb_max - self.space.aabb_min).max() / self.res
-            val = 1.0 - jnp.exp(-out * dt)
-        val = jax.lax.stop_gradient(val).reshape(B, R, R, R)
+        val = jax.lax.stop_gradient(
+            self._occ_from_raw(out)).reshape(B, R, R, R)
         new_val = jnp.maximum(state.val * self.ema_decay, val)
         warm = jnp.asarray(it) < self.n_warmup_steps
         new_val = jnp.where(warm, jnp.maximum(new_val, self.occ_thre + 1e-3), new_val)
@@ -284,12 +299,8 @@ class OccGridEmaDynamic(OccGridEma):
         t01 = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
         t = jnp.broadcast_to(t01[:, None], x.shape[:2])
         out = query_fn(x.reshape(-1, 3), t.reshape(-1))
-        if self.occ_val_fn == "sdf":
-            val = normalized_logistic_density(out, self.occ_inv_s)
-        else:
-            dt = (self.space.aabb_max - self.space.aabb_min).max() / self.res
-            val = 1.0 - jnp.exp(-out * dt)
-        val = jax.lax.stop_gradient(val).reshape(K, R, R, R)
+        val = jax.lax.stop_gradient(
+            self._occ_from_raw(out)).reshape(K, R, R, R)
         new_val = jnp.maximum(state.val * self.ema_decay, val)
         warm = jnp.asarray(it) < self.n_warmup_steps
         new_val = jnp.where(warm, jnp.maximum(new_val, self.occ_thre + 1e-3),

@@ -376,10 +376,17 @@ class NeuSField:
         if override is not None:
             return jnp.asarray(override, jnp.float32)
         inv_s = jnp.exp(params["ln_inv_s"])
+        if it is None:
+            # eval mode: use the checkpoint's stored iteration when the
+            # driver provided it (ckpt.load -> field.eval_it, ADVICE r4:
+            # evaluating a mid-training checkpoint at inv_s_final renders
+            # at a sharpness the SDF never reached and can report
+            # artificially transparent geometry)
+            it = getattr(self, "eval_it", None)
         if self.inv_s_final is not None and it is None \
                 and self.inv_s_anneal_stop_it > 0:
-            # eval mode (no iteration counter): the anneal is complete —
-            # render at the final sharpness, not the raw learned value
+            # eval mode with unknown training stage: assume the anneal is
+            # complete — render at the final sharpness
             return jnp.asarray(self.inv_s_final, jnp.float32)
         if self.inv_s_final is not None and it is not None and self.inv_s_anneal_stop_it > 0:
             # reference var_ctrl mix_linear semantics (streetsurf config

@@ -109,11 +109,19 @@ class SceneNode:
         keyframes on this node's own timestamp table (``default_table``:
         the scene clock, for nodes whose scenario carries no global_ts)."""
         table = self.frame_data.get("global_ts")
+        max_fi = self.n_frames - 1
         if table is None:
-            table = (default_table if default_table is not None
-                     else jnp.arange(self.n_frames, dtype=jnp.float32))
+            if default_table is not None:
+                # borrowed scene clock: a node with MORE frames than the
+                # clock table must not index past the table (silent clamped
+                # reads give t1==t0 degenerate weights — ADVICE r4); clip
+                # the bracket to the shorter of the two
+                table = default_table
+                max_fi = min(len(table), self.n_frames) - 1
+            else:
+                table = jnp.arange(self.n_frames, dtype=jnp.float32)
         ts = jnp.asarray(ts, jnp.float32)
-        hi = jnp.clip(jnp.searchsorted(table, ts, side="right"), 1, self.n_frames - 1)
+        hi = jnp.clip(jnp.searchsorted(table, ts, side="right"), 1, max_fi)
         lo = hi - 1
         t0, t1 = table[lo], table[hi]
         w = jnp.clip((ts - t0) / jnp.clip(t1 - t0, 1e-9), 0.0, 1.0)

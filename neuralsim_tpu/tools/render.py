@@ -220,6 +220,14 @@ def main_function(cfg) -> Dict:
     if restored is not None:
         params = restored[0] if isinstance(restored, (tuple, list)) else restored.params
         occ = getattr(restored, "occ", None)
+        from ..utils.misc import set_eval_iteration
+        it_ck = getattr(restored, "it", None)
+        if it_ck is not None:
+            if hasattr(trainer, "_fields_by_model"):
+                flds = list(trainer._fields_by_model().values())
+            else:
+                flds = list(getattr(renderer, "models", {}).values())
+            set_eval_iteration(flds, np.asarray(it_ck))
 
     rcfg = cfg.get("render", {})
     mode = rcfg.get("mode", "replay")          # replay | nvs | lidar

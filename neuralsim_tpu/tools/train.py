@@ -301,18 +301,35 @@ def main_function(cfg) -> Dict[str, Any]:
     def to_device_batch(raw):
         return {k: jnp.asarray(v) for k, v in raw.items() if k in _jit_keys}
 
+    # finite-guard watchdog (reference GradScaler skip semantics,
+    # train.py:1492-1502): poisoned steps are skipped IN-GRAPH by the
+    # trainer; here we only watch the cumulative skip counter at log cadence
+    # and halt when training stops making progress entirely.
+    _skip_watch = {"last": 0}
+
     def check_finite(mm, it, tag):
-        """NaN forensics (reference debug_ret, train.py:338-439): localize the
-        non-finite loss/grad group, snapshot state, abort."""
-        bad = {k: v for k, v in mm.items() if not np.isfinite(v)}
+        """NaN forensics + skip watchdog. A non-finite metric no longer
+        poisons the params (the trainer skipped that step), so report it;
+        abort only when every step of the window was skipped."""
+        bad = {k: v for k, v in mm.items()
+               if not np.isfinite(v) and not k.startswith(("lidar/", "patch/",
+                                                           "view/"))}
         if bad:
-            print(f"!! non-finite metrics at it={it} ({tag}): {sorted(bad)}",
-                  flush=True)
+            print(f"[finite-guard] non-finite metrics at it={it} ({tag}): "
+                  f"{sorted(bad)} (step was skipped)", flush=True)
+        skips = int(mm.get("skips_total", 0))
+        delta = skips - _skip_watch["last"]
+        if delta > 0:
+            print(f"[finite-guard] {delta} poisoned step(s) skipped since "
+                  f"last log (total {skips})", flush=True)
+        _skip_watch["last"] = skips
+        if delta >= i_log and it > 0:
             path = ckpt.save(state, it, tag="nan_debug")
             raise FloatingPointError(
-                f"non-finite {sorted(bad)} at it={it} ({tag}); state saved to "
-                f"{path}. Re-run with training.debug_grads=true for per-model "
-                f"grad norms.")
+                f"every step in the last {i_log}-iteration window was "
+                f"skipped by the finite guard at it={it} ({tag}); state "
+                f"saved to {path}. Re-run with training.debug_grads=true "
+                f"for per-model grad norms.")
 
     # --profile_iters analog (reference Profiler(warmup, record, then=exit),
     # train.py:1433-1438): run N recorded iterations under the section

@@ -182,6 +182,26 @@ def main_function(cfg) -> Dict[str, Any]:
     def to_device_batch(raw):
         return {k: jnp.asarray(v) for k, v in raw.items() if k in _jit_keys}
 
+    # finite-guard watchdog (see tools/train.py check_finite): poisoned steps
+    # are skipped in-graph; watch the cumulative counter at log cadence.
+    _skip_watch = {"last": 0}
+    # nan_debug: sync on the per-step skip flag and capture the exact
+    # poisoned (state, batch, key) to disk for offline root-causing. The
+    # skipped step leaves params untouched, so the saved state IS the state
+    # the bad step saw.
+    nan_debug = bool(tcfg.get("nan_debug", False))
+
+    def dump_nan_batch(raw_batch, dev_batch, sk, it, step_type, cam_id):
+        dump_dir = os.path.join(exp_dir, "nan_dump")
+        os.makedirs(dump_dir, exist_ok=True)
+        np.savez(os.path.join(dump_dir, f"batch_it{it}_{step_type}.npz"),
+                 key=np.asarray(sk), it=it, step_type=step_type,
+                 cam_id=cam_id or "",
+                 **{k: np.asarray(v) for k, v in dev_batch.items()})
+        ckpt.save(state, it, tag=f"nan_state_it{it}")
+        print(f"[nan_debug] poisoned {step_type} step captured at it={it} "
+              f"-> {dump_dir}", flush=True)
+
     for it in range(num_iters):
         key, sk = jax.random.split(key)
         if profiler is not None:
@@ -219,6 +239,8 @@ def main_function(cfg) -> Dict[str, Any]:
                 state, ml = trainer.train_step(state, lbatch, sk2, "lidar",
                                                None, False)
                 sticky_m.update({f"lidar/{k}": v for k, v in ml.items()})
+                if nan_debug and int(ml["step_skipped"]):
+                    dump_nan_batch(lb, lbatch, sk2, it, "lidar", None)
         if patch_sampler is not None and (it + 1) % i_patch == 0:
             praw = patch_sampler.sample(it)
             key, sk2 = jax.random.split(key)
@@ -235,10 +257,16 @@ def main_function(cfg) -> Dict[str, Any]:
             batch = {k: jnp.asarray(v) for k, v in raw.items()
                      if not isinstance(v, str)}
             state, m = trainer.train_step(state, batch, sk)
+            if nan_debug and int(m["step_skipped"]):
+                dump_nan_batch(raw, batch, sk, it, "pixel", None)
         else:
             # rays lifted INSIDE the jitted step (pose-delta gradients flow)
-            state, m = trainer.train_step(state, to_device_batch(raw), sk,
+            dev_batch = to_device_batch(raw)
+            state, m = trainer.train_step(state, dev_batch, sk,
                                           "pixel", raw["cam_id"])
+            if nan_debug and int(m["step_skipped"]):
+                dump_nan_batch(raw, dev_batch, sk, it, "pixel",
+                               raw["cam_id"])
             if imp_sampler is not None and "err_map" in m:
                 W, H = loader.image_wh(raw["cam_id"])
                 imp_sampler.update(raw["rays_fidx"], raw["rays_sel"][:, 1],
@@ -256,15 +284,31 @@ def main_function(cfg) -> Dict[str, Any]:
             bad = {k: v for k, v in mm.items() if v != v or abs(v) == float("inf")}
             if bad:
                 # NaN forensics (reference debug_ret sweeps, train.py:338-363)
-                print(f"[check_finite] it={it} non-finite metrics: "
-                      f"{sorted(bad)}", flush=True)
+                # — with the finite guard these metrics mean a SKIPPED step,
+                # not poisoned params.
+                print(f"[check_finite] it={it} non-finite metrics (step "
+                      f"skipped): {sorted(bad)}", flush=True)
+            skips = int(mm.get("skips_total", 0))
+            sdelta = skips - _skip_watch["last"]
+            if sdelta > 0:
+                print(f"[finite-guard] {sdelta} poisoned step(s) skipped "
+                      f"since last log (total {skips})", flush=True)
+            _skip_watch["last"] = skips
+            if sdelta >= i_log and it > 0:
+                ckpt.save(state, it, tag="nan_debug")
+                raise FloatingPointError(
+                    f"every step in the last {i_log}-iteration window was "
+                    f"skipped by the finite guard at it={it}")
         ckpt.maybe_save(state, it)
 
     ckpt.save(state, num_iters, tag="final")
     logger.save_stats()
     logger.close()
-    print(f"done multi: exp_dir={exp_dir}", flush=True)
-    return {"exp_dir": exp_dir, "state": state}
+    skips_total = int(np.asarray(state.skips)) if state.skips is not None \
+        else 0
+    print(f"done multi: exp_dir={exp_dir} skips_total={skips_total}",
+          flush=True)
+    return {"exp_dir": exp_dir, "state": state, "skips_total": skips_total}
 
 
 def main(argv=None):

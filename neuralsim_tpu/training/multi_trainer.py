@@ -22,7 +22,7 @@ from ..losses import (clearance_loss, eikonal_loss, lidar_loss,
                       mono_normals_loss, photometric_loss, s3im_loss,
                       sparsity_loss)
 from .optimizers import make_optimizer
-from .trainer import TrainState
+from .trainer import TrainState, apply_finite_guard
 
 
 class MultiObjectTrainer:
@@ -68,7 +68,8 @@ class MultiObjectTrainer:
                for mid, accel in getattr(self.renderer, "accels", {}).items()} \
             or None
         return TrainState(params, self.optimizer.init(params),
-                          jnp.asarray(0, jnp.int32), occ)
+                          jnp.asarray(0, jnp.int32), occ,
+                          jnp.asarray(0, jnp.int32))
 
     # ------------------------------------------------------------------
     def _fields_by_model(self):
@@ -240,8 +241,12 @@ class MultiObjectTrainer:
                 # anneal + occ grid (both metric) then destroy it (r4
                 # streetsky bisect: road probe +9 while lidar depth fits).
                 ecfg = self.loss_cfgs["eikonal"]
-                if buf is not None and "nablas" in buf \
-                        and ecfg.get("on_render_ratio", 1.0) > 0:
+                # default matches the reference's EikonalLoss
+                # on_render_ratio=0.1 (eikonal.py:33) — ADVICE r4: the
+                # prior silent 1.0 changed loss magnitudes for configs
+                # that never set the key
+                orr = ecfg.get("on_render_ratio", 0.1)
+                if buf is not None and "nablas" in buf and orr > 0:
                     emask = buf["mask"]
                     if "src" in buf and "src_names" in rendered:
                         neus_src = jnp.asarray(
@@ -250,7 +255,7 @@ class MultiObjectTrainer:
                              else 0.0
                              for nm in rendered["src_names"]])
                         emask = emask & (neus_src[buf["src"]] > 0)
-                    total_eik = total_eik + ecfg.get("on_render_ratio", 1.0) \
+                    total_eik = total_eik + orr \
                         * eikonal_loss(buf["nablas"], it, ecfg,
                                        mask=emask.astype(jnp.float32))
                 losses["loss_eikonal"] = total_eik
@@ -343,9 +348,8 @@ class MultiObjectTrainer:
                 extras["aux"][f"gradnorm/{mid}"] = optax.global_norm(g)
                 extras["aux"][f"nonfinite/{mid}"] = sum(
                     jnp.sum(~jnp.isfinite(l)) for l in leaves)
-        updates, opt_state = self.optimizer.update(grads, state.opt_state,
-                                                   state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state, skips, ok = apply_finite_guard(
+            self.optimizer, state, grads, total)
 
         # EMA occupancy refresh for every accel-equipped model (batched
         # categorical grids update all instances in one pass). Gated on
@@ -374,6 +378,8 @@ class MultiObjectTrainer:
                         occ[mid],
                         lambda x, f=field, p=fp: f.query_sdf(p, x),
                         k_occ, state.it)
-        metrics = {"loss_total": total, **extras["losses"], **extras["aux"]}
+        metrics = {"loss_total": total, **extras["losses"], **extras["aux"],
+                   "step_skipped": 1 - ok.astype(jnp.int32),
+                   "skips_total": skips}
         it_next = state.it + 1 if advance_it else state.it
-        return TrainState(params, opt_state, it_next, occ), metrics
+        return TrainState(params, opt_state, it_next, occ, skips), metrics

@@ -35,6 +35,40 @@ class TrainState(NamedTuple):
     # occupancy-grid EMA states per renderer role (reference OccGridEma
     # buffers; carried explicitly as pytree state — SURVEY.md §7 hard parts)
     occ: Any = None
+    # cumulative count of optimizer steps skipped by the finite guard
+    # (reference GradScaler skip-on-nonfinite semantics, train.py:1492-1502)
+    skips: Any = None
+
+
+def apply_finite_guard(optimizer, state: "TrainState", grads, total):
+    """GradScaler-equivalent skip-on-nonfinite step.
+
+    The reference gets this for free from its per-step-type AMP GradScaler
+    (``scaler.step`` silently skips steps whose unscaled grads contain
+    inf/NaN — code_single/tools/train.py:1409-1412,1492-1502). The TPU build
+    trains in bf16/fp32 without a scaler, so one poisoned batch would
+    otherwise permanently NaN every parameter. Here: cheap all-finite
+    reduction over the grads + loss, and the params/opt_state update is
+    applied only when it passes; a cumulative skip counter is carried in the
+    state so the CLI can watch it at log cadence without per-step syncs.
+
+    Returns ``(params, opt_state, skips, ok)``.
+    """
+    ok = jnp.isfinite(total)
+    for leaf in jax.tree.leaves(grads):
+        ok = ok & jnp.all(jnp.isfinite(leaf))
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    def sel(n, o):
+        return jnp.where(ok, n, o)
+
+    params = jax.tree.map(sel, new_params, state.params)
+    opt_state = jax.tree.map(sel, new_opt, state.opt_state)
+    skips0 = state.skips if state.skips is not None \
+        else jnp.asarray(0, jnp.int32)
+    skips = skips0 + (1 - ok.astype(jnp.int32))
+    return params, opt_state, skips, ok
 
 
 class Trainer:
@@ -84,6 +118,17 @@ class Trainer:
         self.default_optim_cfg = default_optim_cfg or {"lr": 1e-2, "betas": (0.9, 0.99),
                                                        "eps": 1e-15}
         self.optimizer: Optional[optax.GradientTransformation] = None
+        # a cross* mask-entropy mode silently degrades to the generic
+        # entropy loss when no distant model exists — surface the config
+        # mismatch once at construction instead (ADVICE r4)
+        me_mode = self.loss_cfgs.get("mask_entropy", {}).get("mode", "")
+        if me_mode.startswith("cross") \
+                and "distant" not in getattr(renderer, "models", {}):
+            import warnings
+            warnings.warn(
+                f"mask_entropy mode '{me_mode}' needs a distant model in the "
+                f"renderer; falling back to the generic mask-entropy loss",
+                stacklevel=2)
 
     # ------------------------------------------------------------------
     def init_state(self, key, params: Optional[Any] = None) -> TrainState:
@@ -97,7 +142,8 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         occ = {role: accel.init_state()
                for role, accel in getattr(self.renderer, "accels", {}).items()} or None
-        return TrainState(params, opt_state, jnp.asarray(0, jnp.int32), occ)
+        return TrainState(params, opt_state, jnp.asarray(0, jnp.int32), occ,
+                          jnp.asarray(0, jnp.int32))
 
     # ------------------------------------------------------------------
     def compute_losses(self, params, batch: Dict[str, jnp.ndarray], it, key,
@@ -251,8 +297,13 @@ class Trainer:
             if "eikonal" in self.loss_cfgs:
                 cfg = self.loss_cfgs["eikonal"]
                 loss_eik = eikonal_loss(nablas_u, it, cfg, key=k_eik)
-                if buf is not None and "nablas" in buf and cfg.get("on_render_ratio", 1.0) > 0:
-                    loss_eik = loss_eik + cfg.get("on_render_ratio", 1.0) * eikonal_loss(
+                # on-render ratio default matches the reference's
+                # EikonalLoss (on_render_ratio=0.1, eikonal.py:33; configs
+                # typically set 0.2-0.3) — ADVICE r4: don't silently
+                # default to 1.0
+                orr = cfg.get("on_render_ratio", 0.1)
+                if buf is not None and "nablas" in buf and orr > 0:
+                    loss_eik = loss_eik + orr * eikonal_loss(
                         buf["nablas"], it, cfg, mask=buf["mask"].astype(jnp.float32))
                 losses["loss_eikonal"] = loss_eik
             if "sparsity" in self.loss_cfgs:
@@ -334,8 +385,8 @@ class Trainer:
                 extras["aux"][f"gradnorm/{mid}"] = optax.global_norm(g)
                 extras["aux"][f"nonfinite/{mid}"] = sum(
                     jnp.sum(~jnp.isfinite(l)) for l in leaves)
-        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state, skips, ok = apply_finite_guard(
+            self.optimizer, state, grads, total)
 
         # EMA occupancy-grid refresh on its cadence (reference
         # n_steps_between_update; state carried explicitly). Only the
@@ -353,11 +404,13 @@ class Trainer:
                     occ[role], lambda x: field.query_sdf(frozen_p, x),
                     k_occ, state.it)
 
-        metrics = {"loss_total": total, **extras["losses"], **extras["aux"]}
+        metrics = {"loss_total": total, **extras["losses"], **extras["aux"],
+                   "step_skipped": 1 - ok.astype(jnp.int32),
+                   "skips_total": skips}
         if occ is not None and "cr" in occ:
             metrics["occ_frac"] = jnp.mean(occ["cr"].mask.astype(jnp.float32))
         it_next = state.it + 1 if advance_it else state.it
-        return TrainState(params, opt_state, it_next, occ), metrics
+        return TrainState(params, opt_state, it_next, occ, skips), metrics
 
 
 def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

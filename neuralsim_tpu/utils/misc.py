@@ -124,3 +124,19 @@ def backup_codebase(exp_dir: str) -> str:
                     z.write(full, os.path.relpath(full,
                                                   os.path.dirname(pkg_root)))
     return out
+
+
+def set_eval_iteration(fields, it) -> None:
+    """Stamp the checkpoint's training iteration onto field objects so
+    it-driven schedules (inv_s mix anneal, cos anneal) evaluate at the
+    sharpness the checkpoint actually reached, not at the assumed-complete
+    final value (ADVICE r4: eval.py/render.py pass no ``it``; a mid-training
+    checkpoint must not render at inv_s_final). ``fields`` is any iterable
+    of model/field objects; objects without anneals simply ignore the
+    attribute."""
+    for f in fields:
+        if f is not None:
+            try:
+                f.eval_it = int(it)
+            except (TypeError, ValueError, AttributeError):
+                pass
