@@ -22,6 +22,8 @@ row — the analog of ``LoTDBatched`` inference.
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -121,7 +123,8 @@ class LoTDEncoding:
 
     def __init__(self, levels: Sequence[Tuple[int, int, str]], input_dim: int = 3,
                  log2_hashmap_size: int = 19, param_init_scale: float = 1e-4,
-                 anneal_cfg: Optional[Dict[str, Any]] = None):
+                 anneal_cfg: Optional[Dict[str, Any]] = None,
+                 cp_stacked: bool = True):
         self.input_dim = input_dim
         self.param_init_scale = param_init_scale
         self.anneal_cfg = anneal_cfg
@@ -143,6 +146,40 @@ class LoTDEncoding:
         self.total_params = offset
         self.out_dim = sum(s.n_feats for s in self.specs)
         self.n_levels = len(self.specs)
+        # ---- stacked-CP plan (round-5 MXU-utilization fix) ----------------
+        # A per-level CP tent matmul is [F=8, R] @ [R, N]: with only 8
+        # output rows it uses <=8/128 of the MXU's systolic rows (~6% —
+        # PERF.md measured 1.5 ms/level = 7% of peak). Instead: lerp every
+        # CP level's compact lines onto ONE unified grid of the max CP
+        # resolution (static-index gather, loop-invariant so XLA hoists it
+        # out of the chunked eval), stack all levels along the feature axis,
+        # and run ONE [L*F, R_max] @ [R_max, N] matmul per axis. ~3x more
+        # MACs at ~12x better utilization. The represented function is the
+        # same piecewise-linear line where (R_max-1) is a multiple of
+        # (R_l-1) and a re-parameterized multiscale basis otherwise (quality
+        # A/B'd; the model trains through the upsample end-to-end).
+        self.cp_spec_ids = [li for li, s in enumerate(self.specs)
+                            if s.typ == "cp"]
+        import os as _os
+        if _os.environ.get("NEURALSIM_CP_STACKED") is not None:
+            # A/B escape hatch: NEURALSIM_CP_STACKED=0 forces the per-level
+            # tent matmuls (bit-faithful replay of pre-stacked captures)
+            cp_stacked = _os.environ["NEURALSIM_CP_STACKED"] == "1"
+        self.cp_stacked = bool(cp_stacked) and len(self.cp_spec_ids) >= 2
+        if self.cp_stacked:
+            _np = np
+            rmax = max(self.specs[li].res for li in self.cp_spec_ids)
+            self.cp_rmax = rmax
+            self._cp_up = []          # per cp level: (lo [rmax], w [rmax])
+            for li in self.cp_spec_ids:
+                R = self.specs[li].res
+                posc = _np.linspace(0.0, 1.0, rmax) * (R - 1)
+                lo = _np.minimum(_np.floor(posc).astype(_np.int32),
+                                 max(R - 2, 0))
+                w = (posc - lo).astype(_np.float32)
+                self._cp_up.append((lo, w))
+            self.cp_out_dim = sum(self.specs[li].n_feats
+                                  for li in self.cp_spec_ids)
 
     # -- params -------------------------------------------------------------
     def _init_flat(self, key, lead=()):
@@ -277,6 +314,85 @@ class LoTDEncoding:
             jac.append(j_ax)
         return feats, jnp.stack(jac, 0)                          # [d, F, N]
 
+    def _cp_stacked_lines(self, table: jnp.ndarray):
+        """Upsample every CP level's compact lines onto the unified grid and
+        stack along features -> [d, F_cp, rmax] (or [B, d, F_cp, rmax]).
+
+        Static-index lerp (two row-takes per level); depends only on params,
+        so XLA hoists it out of the chunked-eval loop."""
+        d = self.input_dim
+        batched = table.ndim == 2
+        cols = []
+        for (li, (lo, w)) in zip(self.cp_spec_ids, self._cp_up):
+            spec = self.specs[li]
+            R, F = spec.res, spec.n_feats
+            seg = jax.lax.dynamic_slice_in_dim(
+                table, spec.offset, spec.size * F, axis=table.ndim - 1)
+            lines = seg.reshape(seg.shape[:-1] + (d, R, F))
+            lo_j = jnp.asarray(lo)
+            w_j = jnp.asarray(w)[:, None]
+            l0 = jnp.take(lines, lo_j, axis=lines.ndim - 2)
+            l1 = jnp.take(lines, jnp.minimum(lo_j + 1, R - 1),
+                          axis=lines.ndim - 2)
+            cols.append(l0 * (1.0 - w_j) + l1 * w_j)   # [(B,) d, rmax, F]
+        up = jnp.concatenate(cols, axis=-1)            # [(B,) d, rmax, F_cp]
+        return jnp.swapaxes(up, -1, -2)                # [(B,) d, F_cp, rmax]
+
+    def _cp_stacked_features(self, stacked, pos01: jnp.ndarray,
+                             bidx: Optional[jnp.ndarray] = None,
+                             with_jac: bool = False):
+        """All CP levels in one tent matmul per axis.
+
+        stacked: output of ``_cp_stacked_lines``; pos01: [d, N].
+        Returns feats [F_cp, N] (+ jac [d, F_cp, N]).
+        """
+        d = self.input_dim
+        R = self.cp_rmax
+        pos = pos01 * (R - 1)
+        iota = jnp.arange(R, dtype=pos.dtype)
+        f_axes, g_axes = [], []
+        for ax in range(d):
+            delta = pos[ax][None, :] - iota[:, None]            # [R, N]
+            w = jax.nn.relu(1.0 - jnp.abs(delta)).astype(jnp.bfloat16)
+            if bidx is None:
+                A = stacked[ax].astype(jnp.bfloat16)            # [F_cp, R]
+                f_ax = jnp.dot(A, w, preferred_element_type=jnp.float32)
+            else:
+                per_inst = jnp.einsum(
+                    "bfr,rn->bfn", stacked[:, ax].astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32)
+                f_ax = jnp.take_along_axis(
+                    per_inst,
+                    bidx[None, None, :].repeat(per_inst.shape[1], 1),
+                    axis=0)[0]
+            f_axes.append(f_ax)
+            if with_jac:
+                wp = (jnp.where(jnp.abs(delta) < 1.0, -jnp.sign(delta), 0.0)
+                      .astype(jnp.bfloat16))
+                if bidx is None:
+                    g_ax = jnp.dot(A, wp, preferred_element_type=jnp.float32)
+                else:
+                    gi = jnp.einsum(
+                        "bfr,rn->bfn", stacked[:, ax].astype(jnp.bfloat16),
+                        wp, preferred_element_type=jnp.float32)
+                    g_ax = jnp.take_along_axis(
+                        gi, bidx[None, None, :].repeat(gi.shape[1], 1),
+                        axis=0)[0]
+                g_axes.append(g_ax * (R - 1))
+        feats = f_axes[0]
+        for f_ax in f_axes[1:]:
+            feats = feats * f_ax
+        if not with_jac:
+            return feats
+        jac = []
+        for ax in range(d):
+            j_ax = g_axes[ax]
+            for other in range(d):
+                if other != ax:
+                    j_ax = j_ax * f_axes[other]
+            jac.append(j_ax)
+        return feats, jnp.stack(jac, 0)                          # [d, F_cp, N]
+
     def _level_features(self, table: jnp.ndarray, cell: jnp.ndarray,
                         frac: jnp.ndarray, spec: LevelSpec,
                         bidx: Optional[jnp.ndarray] = None,
@@ -340,9 +456,18 @@ class LoTDEncoding:
         bf = None if bidx is None else jnp.broadcast_to(bidx, lead).reshape(-1)
         # transpose once: [d, N] so every downstream temp is N-last
         pos_all = jnp.clip(xf, 0.0, 1.0).T                        # [d, N]
+        cp_feats = None
+        if self.cp_stacked:
+            stacked = self._cp_stacked_lines(params["table"])
+            f_all = self._cp_stacked_features(stacked, pos_all, bf)
+            sizes = [self.specs[li].n_feats for li in self.cp_spec_ids]
+            cp_feats = dict(zip(self.cp_spec_ids,
+                                jnp.split(f_all, np.cumsum(sizes)[:-1], 0)))
         outs = []
         for li, spec in enumerate(self.specs):
-            if spec.typ == "cp":
+            if cp_feats is not None and li in cp_feats:
+                f = cp_feats[li]
+            elif spec.typ == "cp":
                 f = self._cp_level_features(params["table"], pos_all, spec, bf)
             else:
                 pos = pos_all * spec.res
@@ -376,9 +501,21 @@ class LoTDEncoding:
         xf = x.reshape(-1, self.input_dim)
         bf = None if bidx is None else jnp.broadcast_to(bidx, lead).reshape(-1)
         pos_all = jnp.clip(xf, 0.0, 1.0).T                        # [d, N]
+        cp_feats = None
+        if self.cp_stacked:
+            stacked = self._cp_stacked_lines(params["table"])
+            f_all, j_all = self._cp_stacked_features(stacked, pos_all, bf,
+                                                     with_jac=True)
+            sizes = [self.specs[li].n_feats for li in self.cp_spec_ids]
+            cuts = np.cumsum(sizes)[:-1]
+            cp_feats = dict(zip(self.cp_spec_ids,
+                                zip(jnp.split(f_all, cuts, 0),
+                                    jnp.split(j_all, cuts, 1))))
         outs, jacs = [], []
         for li, spec in enumerate(self.specs):
-            if spec.typ == "cp":
+            if cp_feats is not None and li in cp_feats:
+                f, j = cp_feats[li]
+            elif spec.typ == "cp":
                 f, j = self._cp_level_features(params["table"], pos_all, spec,
                                                bf, with_jac=True)
             else:

@@ -354,7 +354,10 @@ class NeuSField:
         if self.use_view_dirs:
             inputs.append(self.dir_embed(v))
         if self.use_nablas:
-            n = nablas / jnp.clip(jnp.linalg.norm(nablas, axis=-1, keepdims=True), 1e-8)
+            # denormal-safe: subnormal nablas (flat-feature regions) made
+            # this normalization NaN the grads on TPU (maths.common.safe_norm)
+            from ..maths.common import safe_normalize
+            n = safe_normalize(nablas)
             inputs.append(n)
         inputs.append(feat)
         if self.appear_embed_dim:

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from .recon import get_recon_fn, reduce, safe_binary_cross_entropy, safe_mse_loss
-from ..maths.common import normalized_logistic_density
+from ..maths.common import (normalized_logistic_density, safe_norm,
+                            safe_normalize)
 from ..training.annealers import get_anneal_val
 
 
@@ -104,7 +105,9 @@ def eikonal_loss(nablas: jnp.ndarray, it, cfg: Dict,
                  key: Optional[jax.Array] = None) -> jnp.ndarray:
     """||∇SDF|| = 1 penalty with noise perturbation + clipped safe-MSE
     (reference eikonal.py:24-107; point sources assembled by the trainer)."""
-    norms = jnp.linalg.norm(nablas, axis=-1)
+    # safe_norm, not jnp.linalg.norm: subnormal nablas NaN the backward
+    # on denormal-flushing TPUs (see maths.common.safe_norm)
+    norms = safe_norm(nablas, axis=-1)
     if key is not None and cfg.get("noise_std", 0.0) > 0:
         norms = norms + jax.random.normal(key, norms.shape) * cfg["noise_std"]
     err = safe_mse_loss(norms, jnp.ones_like(norms),
@@ -151,11 +154,11 @@ def sdf_curvature_loss(field, params, x: jnp.ndarray, it, cfg: Dict,
     if key is None:
         key = jax.random.PRNGKey(0)
     rnd = jax.random.normal(key, x.shape)
-    n0u = n0 / jnp.clip(jnp.linalg.norm(n0, axis=-1, keepdims=True), 1e-8)
+    n0u = safe_normalize(n0)
     tang = jnp.cross(n0u, rnd)
-    tang = tang / jnp.clip(jnp.linalg.norm(tang, axis=-1, keepdims=True), 1e-8)
+    tang = safe_normalize(tang)
     _, n1, _ = field.sdf_nablas_feat(params, x + tang * eps)
-    n1u = n1 / jnp.clip(jnp.linalg.norm(n1, axis=-1, keepdims=True), 1e-8)
+    n1u = safe_normalize(n1)
     dot = jnp.sum(n0u * n1u, axis=-1)
     return jnp.mean((dot - 1.0) ** 2) * _w(cfg, it)
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .core import _w
+from ..maths.common import safe_normalize
 from .recon import reduce
 
 
@@ -21,7 +22,7 @@ def road_normal_loss(normals: jnp.ndarray, road_mask: jnp.ndarray, it,
                      cfg: Dict, up_vec=(0.0, 0.0, 1.0)) -> jnp.ndarray:
     """1 - <n, up> on road pixels. normals [N,3] (world), road_mask [N]."""
     up = jnp.asarray(up_vec, normals.dtype)
-    n = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-8)
+    n = safe_normalize(normals)
     err = 1.0 - jnp.einsum("...i,i->...", n, up)
     return reduce(err, road_mask.astype(jnp.float32), "mean") * _w(cfg, it)
 
@@ -35,7 +36,7 @@ def manhattan_loss(normals: jnp.ndarray, wall_mask: jnp.ndarray, it,
     vert = jnp.einsum("...i,i->...", n, up) ** 2
     # horizontal component snapped to nearest of 4 axis directions
     h = n - jnp.einsum("...i,i->...", n, up)[..., None] * up
-    hn = h / jnp.clip(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+    hn = safe_normalize(h)
     # |cos| to the closest horizontal axis should be ~1: use max |component|
     ax = jnp.max(jnp.abs(hn), axis=-1)
     err = vert + (1.0 - ax)

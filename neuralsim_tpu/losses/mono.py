@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .recon import reduce
+from ..maths.common import safe_normalize
 from .core import _w
 
 
@@ -117,7 +118,7 @@ def mono_normals_loss(pred_normals: jnp.ndarray, mono_normals: jnp.ndarray,
     n_pred = pred_normals
     if w2c_rot is not None:
         n_pred = jnp.einsum("...ij,...j->...i", w2c_rot, n_pred)
-    n_pred = n_pred / jnp.clip(jnp.linalg.norm(n_pred, axis=-1, keepdims=True), 1e-8)
+    n_pred = safe_normalize(n_pred)
     n_gt = mono_normals / jnp.clip(
         jnp.linalg.norm(mono_normals, axis=-1, keepdims=True), 1e-8)
     l1 = jnp.sum(jnp.abs(n_pred - n_gt), axis=-1)

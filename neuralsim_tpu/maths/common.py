@@ -23,10 +23,6 @@ def geometric_mean(x: jnp.ndarray, axis=None, eps: float = 1e-12) -> jnp.ndarray
     return jnp.exp(jnp.mean(jnp.log(jnp.clip(x, eps)), axis=axis))
 
 
-def safe_normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-8) -> jnp.ndarray:
-    return v / jnp.clip(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
-
-
 def chamfer_distance(a: jnp.ndarray, b: jnp.ndarray, trim_quantile: float = None):
     """Symmetric chamfer distance between point sets a [N,3], b [M,3].
 
@@ -118,3 +114,25 @@ def depth_fill_in_fast(depth, max_depth: float = 100.0,
         d = np.where(d > 0.1, sm, d)
     out = np.where(d > 0.1, max_depth - d, 0.0)  # invert back
     return out
+
+
+def safe_norm(x, axis=-1, keepdims=False, eps: float = 1e-12):
+    """Denormal-safe L2 norm (round-5 NaN root cause, VERDICT r5 item 1a).
+
+    TPU hardware flushes subnormal fp32 to zero: for a tiny-but-nonzero
+    vector (e.g. analytic CP-jacobian nablas in feature-flat regions —
+    products of three small slopes land below ~1e-38), ``jnp.linalg.norm``
+    computes ``sqrt(sum_sq)`` with ``sum_sq`` flushed to 0, and its backward
+    ``x / norm`` becomes 0/0 = NaN — multiplied by a zero cotangent it still
+    poisons the whole gradient (NaN * 0 = NaN). The same replay is clean on
+    CPU, where denormals survive: this was the round-4 flagship's
+    "transient NaN" divergence. ``eps**2`` inside the sqrt keeps both
+    passes finite (gradient -> x/eps -> ~0 for tiny x).
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps * eps)
+
+
+def safe_normalize(x, axis=-1, eps: float = 1e-12):
+    """x / safe_norm(x): unit vectors with finite forward AND backward for
+    zero/subnormal inputs on denormal-flushing hardware."""
+    return x / safe_norm(x, axis=axis, keepdims=True, eps=eps)

@@ -41,7 +41,8 @@ def volume_integrate(buf: Dict[str, Any], *, depth_use_normalized_vw: bool = Tru
     if "nablas" in buf:
         n = masked_sum(vw[..., None] * buf["nablas"], buf["mask"][..., None], axis=-2)
         if normalize_normals:
-            n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+            from ..maths.common import safe_normalize
+            n = safe_normalize(n)
             n = jnp.clip(n, -1.0, 1.0)
         out["normals_volume"] = n
     if "feat" in buf:

@@ -191,7 +191,16 @@ def main_function(cfg) -> Dict[str, Any]:
     # the bad step saw.
     nan_debug = bool(tcfg.get("nan_debug", False))
 
+    _nan_dumps = {"n": 0}
+
     def dump_nan_batch(raw_batch, dev_batch, sk, it, step_type, cam_id):
+        # cap the captures: once the model is inside a NaN-producing region
+        # every step skips, and a full state snapshot per skip floods the
+        # disk (observed 1.6 GB in minutes); the first few are what the
+        # offline bisect needs
+        _nan_dumps["n"] += 1
+        if _nan_dumps["n"] > 3:
+            return
         dump_dir = os.path.join(exp_dir, "nan_dump")
         os.makedirs(dump_dir, exist_ok=True)
         np.savez(os.path.join(dump_dir, f"batch_it{it}_{step_type}.npz"),
