@@ -105,6 +105,29 @@ def main(args):
                         "fps": 6})
     render_main(tcfg)
 
+    # acceptance gates (VERDICT r4/r5): the evidence is self-checking.
+    pc = summary["eval_multi"].get("per_class", {})
+    street_road = pc.get("street", {}).get("road_vis_mass")
+    distant_road = pc.get("distant", {}).get("road_vis_mass")
+    gates = {
+        # training must not be NaN-crippled: <1% of steps skipped
+        "skips_ok": summary["skips_total"] < args.iters * 0.01,
+        # the street model must own the road pixels (item 4): its
+        # visibility mass on ground pixels dominates the distant model's
+        "road_ownership_ok": (street_road is not None
+                              and distant_road is not None
+                              and street_road > 2 * distant_road
+                              and street_road > 0.5),
+        # geometry guardrail (item 3): hit_recall + miss_in_cuboid +
+        # miss_out_cuboid = 1 over valid beams; beams whose GT return lies
+        # INSIDE the close-range cuboid are the street's to own, so few of
+        # them may miss
+        "lidar_recall_ok": summary["eval_lidar"].get(
+            "miss_in_cuboid_frac", 1.0) < 0.25,
+    }
+    summary["gates"] = gates
+    summary["gates_all_ok"] = all(gates.values())
+
     # durable evidence: summary + raw metrics JSONs into committed results/
     with open(os.path.join(RESULTS, f"{run_name}.json"), "w") as f:
         json.dump(summary, f, indent=1)
