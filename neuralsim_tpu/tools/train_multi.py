@@ -117,6 +117,15 @@ def main_function(cfg) -> Dict[str, Any]:
     params = bank.init_params(k_init)
     params = bank.training_initialize(params, k_pre)
     state = trainer.init_state(key, params=params)
+    # checkpoint resume (reference train.py load_checkpoint semantics; the
+    # single driver has this at tools/train.py:231 — parity + the
+    # halt-and-restore recovery path both need it)
+    if cfg.get("resume_dir"):
+        restored = ckpt.load(state)
+        if restored is not None:
+            state = type(state)(*restored) \
+                if not isinstance(restored, type(state)) else restored
+            print(f"resumed at it={int(np.asarray(state.it))}", flush=True)
 
     # error-map importance sampling (per-camera ErrorMap; reference
     # code_multi/tools/train.py:50 — ErrorMap/ImpSampler per camera)
@@ -211,7 +220,7 @@ def main_function(cfg) -> Dict[str, Any]:
         print(f"[nan_debug] poisoned {step_type} step captured at it={it} "
               f"-> {dump_dir}", flush=True)
 
-    for it in range(num_iters):
+    for it in range(int(np.asarray(state.it)), num_iters):
         key, sk = jax.random.split(key)
         if profiler is not None:
             with profiler.range("sample"):

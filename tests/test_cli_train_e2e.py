@@ -355,6 +355,14 @@ def test_waymo_demo_multi_chain(tmp_path):
                             "error_map": {"hw": [4, 6], "frac_uniform": 0.5}})
     train_main(cfg)
 
+    # checkpoint resume (reference train.py load_checkpoint): re-invoking
+    # with resume_dir continues from the saved iteration instead of
+    # retraining from scratch
+    out_res = train_main(dict(cfg, resume_dir=cfg["exp_dir"],
+                              training={**cfg["training"], "num_iters": 5}))
+    assert int(np.asarray(out_res["state"].it)) == 5
+    assert out_res["skips_total"] == 0
+
     ecfg = dict(cfg, resume_dir=cfg["exp_dir"],
                 eval={"frames": [0, 2], "downscale": 4, "rayschunk": 24})
     out = eval_main(ecfg)
