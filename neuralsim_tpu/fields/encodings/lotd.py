@@ -35,6 +35,11 @@ from ...ops.gather import gather_cols
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 
 
+def _jac_f32() -> bool:
+    import os
+    return os.environ.get("NEURALSIM_CP_JAC_F32") == "1"
+
+
 class LevelSpec:
     """Static per-level layout: resolution, feature width, type.
 
@@ -367,13 +372,22 @@ class LoTDEncoding:
                     axis=0)[0]
             f_axes.append(f_ax)
             if with_jac:
+                # jacobian slopes of upsampled COARSE levels are differences
+                # of nearby line values / (R-1) — bf16 rounding of the
+                # operands cancels catastrophically relative to the slope
+                # (~4x the noise of the per-level path on the coarsest
+                # level). NEURALSIM_CP_JAC_F32=1 runs the tent'-matmul in
+                # fp32 (half MXU rate on this matmul only) if chip-scale
+                # quality ever needs it; default bf16.
+                jdt = jnp.float32 if _jac_f32() else jnp.bfloat16
                 wp = (jnp.where(jnp.abs(delta) < 1.0, -jnp.sign(delta), 0.0)
-                      .astype(jnp.bfloat16))
+                      .astype(jdt))
                 if bidx is None:
-                    g_ax = jnp.dot(A, wp, preferred_element_type=jnp.float32)
+                    g_ax = jnp.dot(stacked[ax].astype(jdt), wp,
+                                   preferred_element_type=jnp.float32)
                 else:
                     gi = jnp.einsum(
-                        "bfr,rn->bfn", stacked[:, ax].astype(jnp.bfloat16),
+                        "bfr,rn->bfn", stacked[:, ax].astype(jdt),
                         wp, preferred_element_type=jnp.float32)
                     g_ax = jnp.take_along_axis(
                         gi, bidx[None, None, :].repeat(gi.shape[1], 1),
