@@ -168,6 +168,8 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "cp_stacked": bool(getattr(getattr(field, "encoding", None),
+                                   "cp_stacked", False)),
     }
     # XLA's own FLOP count for the full step -> MFU (after the timing so a
     # cost-analysis failure can never spoil the headline number). NOTE the
