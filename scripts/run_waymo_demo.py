@@ -94,16 +94,17 @@ def main(args):
                              for k, v in lout["mean"].items()}
     print(json.dumps({"eval_lidar_mean": summary["eval_lidar"]}), flush=True)
 
-    rcfg = dict(cfg, resume_dir=exp,
-                renderer={**cfg["renderer"], "type": "multi"},
-                render={"mode": "replay", "frames": [0, 4],
-                        "video": False, "per_obj": True})
-    render_main(rcfg)
-    tcfg = dict(cfg, resume_dir=exp,
-                renderer={**cfg["renderer"], "type": "multi"},
-                render={"mode": "topdown", "topdown_w": 256, "video": True,
-                        "fps": 6})
-    render_main(tcfg)
+    if not args.skip_render:
+        rcfg = dict(cfg, resume_dir=exp,
+                    renderer={**cfg["renderer"], "type": "multi"},
+                    render={"mode": "replay", "frames": [0, 4],
+                            "video": False, "per_obj": True})
+        render_main(rcfg)
+        tcfg = dict(cfg, resume_dir=exp,
+                    renderer={**cfg["renderer"], "type": "multi"},
+                    render={"mode": "topdown", "topdown_w": 256,
+                            "video": True, "fps": 6})
+        render_main(tcfg)
 
     # acceptance gates (VERDICT r4/r5): the evidence is self-checking.
     pc = summary["eval_multi"].get("per_class", {})
@@ -147,6 +148,11 @@ if __name__ == "__main__":
     ap.add_argument("--deadline-min", type=float, default=None,
                     help="refuse to launch unless the expected runtime fits "
                          "within this many minutes from now")
+    ap.add_argument("--skip-render", action="store_true",
+                    help="metrics-only replicate: skip the replay/topdown "
+                         "renders (the gates need only eval_multi + "
+                         "eval_lidar) so a second seed fits a tight "
+                         "chip window")
     ap.add_argument("--nan-debug", action="store_true",
                     help="sync on the per-step finite-guard flag and capture "
                          "the first poisoned batch + state to disk")
